@@ -1,0 +1,309 @@
+"""Config system: every hyperparameter/flag of the pipeline.
+
+Mirrors the reference's configargparse surface (reference: config_loader.py:11-275) and
+reads the same ``configs/*.txt`` format (``key = value`` lines, bare flags, ``[a, b, c]``
+lists, ``#`` comments) without depending on configargparse. Precedence: CLI > config file
+> default (reference: config_loader.py:13-15).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+
+def _parse_config_file(path):
+    """Parse a reference-style config txt into {dest: raw-string-or-list}."""
+    out = {}
+    with open(path) as f:
+        for raw in f.readlines():
+            line = raw.split('#', 1)[0].strip()
+            if not line:
+                continue
+            if '=' in line:
+                key, _, val = line.partition('=')
+                key, val = key.strip(), val.strip()
+            elif ' ' in line:
+                key, _, val = line.partition(' ')
+                key, val = key.strip(), val.strip()
+            else:
+                key, val = line, None
+            if val is not None and val.startswith('[') and val.endswith(']'):
+                val = [v.strip() for v in val[1:-1].split(',') if v.strip()]
+            out[key] = val
+    return out
+
+
+def config_parser():
+    p = argparse.ArgumentParser('box2mask-tpu')
+    add = p.add_argument
+    add('--config', type=str, default=None, help='config file path')
+    add('--exp_name', type=str, default=None)
+    add('--data_dir', type=str, default='./data/scannet/')
+    add('--data_split', type=str, default='data/scannet/scannetv2_official_split.npz')
+    add('--dataset_name', type=str, default='scannet')
+
+    # model / data
+    add('--num_workers', type=int, default=16)
+    add('--use_normals_input', default=False, action='store_true')
+
+    # arkitscenes
+    add('--subsample_rate', type=int, default=10)
+
+    # s3dis
+    add('--s3dis_split_fold', default=5, type=int)
+    add('--point_sampling_rate', default=None, type=float)
+    add('--superpoint_algo', default='learned_superpoint', type=str,
+        choices=['learned_superpoint'])
+    add('--ignore_wall_ceiling_floor', default=False, action='store_true')
+    add('--ignore_ceiling_floor', default=False, action='store_true')
+    add('--full_resolution', default=False, action='store_true')
+
+    # bb supervision
+    add('--bb_supervision', default=False, action='store_true')
+    add('--point_association', default=False, action='store_true')
+    add('--smallest_bb_heuristic', default=False, action='store_true')
+    add('--majority_vote', default=False, action='store_true')
+    add('--dropout_boxes', type=float, default=None)
+    add('--noisy_boxes', type=float, default=None)
+
+    # data processing
+    add('--voxel_size', type=float, default=0.02)
+    add('--align', default=False, action='store_true')
+    add('--dont_align', default=False, action='store_true')
+    add('--debug', default=False, action='store_true')
+    add('--slurm_array_id', type=int, default=None)
+
+    # multi device
+    add('--multigpu', default=False, action='store_true',
+        help='Data-parallel training over all local TPU devices (jax.sharding Mesh).')
+    add('--singlegpu', default=False, action='store_true')
+
+    # debugging
+    add('--overfit_to_single_scene', type=int, default=None)
+    add('--overfit_to_single_scene_str', type=str, default=None)
+    add('--dataset_size', type=int, default=None)
+
+    # eval / prediction
+    add('--checkpoint', type=str, default=None)
+    add('--fixed_seed', type=int, default=None)
+    add('--sample_fixed_seed', default=False, action='store_true')
+    add('--predict_specific_scene', type=str, default=None)
+    add('--eval_ths', type=float, nargs=4, default=None,
+        help='cluster_th, score_th, mask_bin_th, mask_nms_th')
+    add('--load_ckpt_closest_to', type=int, default=None)
+    add('--eval_training', default=False, action='store_true')
+    add('--produce_visualizations', default=False, action='store_true')
+    add('--eval_device', type=str, default='tpu')
+    add('--eval_wo_aug', default=False, action='store_true')
+    add('--submission_write_out', default=False, action='store_true')
+    add('--submission_write_out_testset', default=False, action='store_true')
+    add('--fig3', default=False, action='store_true')
+
+    # param search
+    add('--param_search', default=False, action='store_true')
+    add('--eval_specific_param', default=False, action='store_true')
+    add('--cluster_th_search', default=[0.3, 0.8, 6], nargs=3, type=float)
+    add('--score_th_search', default=[0, 0.2, 5], nargs=3, type=float)
+    add('--mask_bin_th_search', default=[0.2, 0.35, 4], nargs=3, type=float)
+    add('--mask_nms_th_search', default=[0.4, 0.8, 5], nargs=3, type=float)
+
+    # training
+    add('--eval_first', dest='skip_first_eval', action='store_false')
+    p.set_defaults(skip_first_eval=True)
+    add('--eval_every', type=int, default=12)
+    add('--val_every', type=int, default=12)
+    add('--ckpt_every', type=int, default=4)
+    add('--train_submission', default=False, action='store_true')
+    add('--loose_model_loading', default=False, action='store_true')
+    add('--load_unused_head', default=False, action='store_true')
+    add('--apple_warmstart', default=False, action='store_true')
+    add('--batch_size', type=int, default=4)
+    add('--num_epochs', type=int, default=1500)
+    add('--lr', type=float, default=1e-6)
+    add('--optimizer', type=str, default='Adam')
+    add('--loss_on_all_instances', default=False, action='store_true')
+    add('--num_eval_batches', type=int, default=5)
+    add('--use_lr_scheduler', default=False, action='store_true')
+    add('--lr_scheduler_start_epoch', type=int, default=None)
+    add('--lr_scheduler_end_epoch', type=int, default=None)
+
+    # augmentations
+    add('--augmentation', default=False, action='store_true')
+    add('--position_jittering', type=float, default=[0.00, 0.01], nargs=2)
+    add('--scaling_aug', type=float, default=[0.0, 0.9, 1.1], nargs=3)
+    add('--color_jittering_aug', default=[0.0, 0.1], type=float, nargs=2)
+    add('--HAIS_jitter_aug', default=False, action='store_true')
+    add('--rotation_aug', type=float, default=[0.0, np.pi / 100, 1], nargs='+')
+    add('--rotation_90_aug', default=False, action='store_true')
+    add('--mix_3d_color_aug', default=False, action='store_true')
+    add('--apply_hue_aug', default=False, action='store_true')
+    add('--flipping_aug', default=0.0, type=float)
+    add('--elastic_distortion', default=0.0, type=float)
+    add('--elastic_distortion_HAIS', default=0.0, type=float)
+    add('--chromatic_auto_contrast', default=0.0, type=float)
+    add('--chromatic_translation', type=float, default=[0.0, 0.1], nargs=2)
+    add('--random_brightness', type=float, default=[0.0, 0.1], nargs=2)
+
+    # detection net
+    add('--do_segment_pooling', default=False, action='store_true')
+    add('--network_heads', default=None, type=str, nargs='+',
+        choices=['mlp_offsets', 'mlp_bounds', 'mlp_bb_scores', 'mlp_semantics',
+                 'mlp_center_scores', 'mlp_per_vox_semantics'])
+    add('--mlp_bounds_relu', default=False, action='store_true')
+    add('--max_pool_segments_detection_net', default=False, action='store_true')
+    add('--layers', type=int, default=2)
+
+    # losses
+    add('--use_bb_iou_loss', default=False, action='store_true')
+    add('--loss_weight_semantics', type=float, default=None)
+    add('--loss_weight_bb_offsets', type=float, default=1.0)
+    add('--loss_weight_bb_bounds', type=float, default=None)
+    add('--loss_weight_bb_scores', type=float, default=None)
+    add('--loss_weight_center_scores', type=float, default=None)
+    add('--loss_weight_bb_iou', type=float, default=None)
+    add('--loss_weight_per_vox_semantics', type=float, default=1)
+    add('--mlp_bb_scores_start_epoch', default=0, type=int)
+    add('--mlp_center_scores_start_epoch', default=0, type=int)
+    add('--min_bb_size', default=0.04, type=float)
+
+    # ---- TPU-specific knobs (no reference equivalent) ----
+    add('--vox_bucket', type=int, default=4096,
+        help='Padding granularity (voxels) per pyramid level; bounds XLA recompiles.')
+    add('--seg_bucket', type=int, default=512,
+        help='Padding granularity for oversegments.')
+    add('--max_clusters', type=int, default=256,
+        help='Static bound on NMS-clustering representatives on device.')
+    add('--param_dtype', type=str, default='float32')
+    add('--compute_dtype', type=str, default='bfloat16',
+        help='dtype of conv inputs/weights on the MXU; accumulation is float32.')
+    add('--data_axis_size', type=int, default=None,
+        help='Devices in the data-parallel mesh axis (default: all local devices).')
+    add('--prefetch_batches', type=int, default=2)
+    add('--use_native_host_ops', default=True, action='store_true',
+        help='Use the C host library for voxelization/neighbor maps when built.')
+    return p
+
+
+def _apply_config_file(parser, argv):
+    """Merge config-file values as argv-style defaults (CLI wins)."""
+    ns, _ = parser.parse_known_args(argv)
+    if not ns.config:
+        return argv
+    file_vals = _parse_config_file(ns.config)
+    store_true = {a.dest for a in parser._actions
+                  if isinstance(a, argparse._StoreTrueAction)}
+    store_false = {a.dest for a in parser._actions
+                   if isinstance(a, argparse._StoreFalseAction)}
+    option_map = {}
+    for a in parser._actions:
+        for opt in a.option_strings:
+            if opt.startswith('--'):
+                option_map[opt[2:]] = a
+    extra = []
+    for key, val in file_vals.items():
+        if key not in option_map:
+            raise ValueError(f'Unknown config key {key!r} in config file')
+        a = option_map[key]
+        if a.dest in store_true or a.dest in store_false:
+            if val is None or str(val).lower() in ('true', '1', 'yes'):
+                extra.append('--' + key)
+            continue
+        if val is None:
+            raise ValueError(f'Config key {key!r} missing a value')
+        if isinstance(val, list):
+            extra.extend(['--' + key] + [str(v) for v in val])
+        else:
+            extra.append('--' + key + '=' + str(val))
+    # file-provided args first so explicit CLI args override them
+    return extra + list(argv or [])
+
+
+def get_config(args=None):
+    """Parse args + config file and derive invariants.
+
+    Mirrors reference config_loader.get_config (config_loader.py:278-357): head-name
+    constants, full_model detection, in_channels, exp paths, validation asserts.
+    """
+    parser = config_parser()
+    import sys
+    argv = list(args) if args is not None else sys.argv[1:]
+    argv = _apply_config_file(parser, argv)
+    cfg = parser.parse_args(argv)
+
+    if cfg.singlegpu:
+        cfg.multigpu = False
+    if cfg.dont_align:
+        cfg.align = False
+    cfg.loss_on_fg_instances = not cfg.loss_on_all_instances
+
+    if len(cfg.rotation_aug) == 1:
+        cfg.rotation_aug = [cfg.rotation_aug[0], np.pi / 100, 1]
+    if cfg.sample_fixed_seed:
+        cfg.fixed_seed = int.from_bytes(os.urandom(4), byteorder='big')
+    if cfg.fixed_seed:
+        set_fixed_seed(cfg)
+    if cfg.dropout_boxes:
+        assert 0 <= cfg.dropout_boxes <= 1
+
+    cfg.mlp_offsets = 'mlp_offsets'
+    cfg.mlp_bounds = 'mlp_bounds'
+    cfg.mlp_bb_scores = 'mlp_bb_scores'
+    cfg.mlp_center_scores = 'mlp_center_scores'
+    cfg.mlp_semantics = 'mlp_semantics'
+    cfg.mlp_per_vox_semantics = 'mlp_per_vox_semantics'
+    cfg.network_heads_options = [
+        cfg.mlp_offsets, cfg.mlp_bounds, cfg.mlp_bb_scores,
+        cfg.mlp_semantics, cfg.mlp_center_scores, cfg.mlp_per_vox_semantics]
+    if cfg.network_heads is None:
+        cfg.network_heads = []
+
+    cfg.full_model = (
+        cfg.mlp_bounds in cfg.network_heads
+        and cfg.mlp_offsets in cfg.network_heads
+        and (cfg.mlp_semantics in cfg.network_heads
+             or cfg.mlp_per_vox_semantics in cfg.network_heads)
+        and cfg.mlp_bb_scores in cfg.network_heads)
+    cfg.in_channels = 3 + 3 * cfg.use_normals_input
+
+    if cfg.exp_name == 'cfg_name':
+        cfg_name = os.path.basename(cfg.config)
+        assert cfg_name.endswith('.txt')
+        cfg.exp_name = cfg_name[:-4]
+
+    root = os.environ.get('BOX2MASK_EXP_ROOT',
+                          os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                       'experiments'))
+    cfg.exp_path = os.path.join(root, str(cfg.exp_name)) + '/'
+    cfg.checkpoint_path = cfg.exp_path + 'checkpoints/'
+
+    if cfg.mlp_center_scores in cfg.network_heads:
+        assert cfg.mlp_offsets in cfg.network_heads
+    assert set(cfg.network_heads) <= set(cfg.network_heads_options)
+    assert len(np.unique(cfg.network_heads)) == len(cfg.network_heads)
+    if cfg.mlp_bb_scores in cfg.network_heads and cfg.loss_weight_bb_scores is None:
+        raise ValueError('mlp_bb_scores head requires --loss_weight_bb_scores')
+    if cfg.mlp_semantics in cfg.network_heads and not cfg.loss_weight_semantics:
+        raise ValueError('mlp_semantics head requires --loss_weight_semantics')
+    if cfg.use_bb_iou_loss:
+        if not (cfg.mlp_offsets in cfg.network_heads
+                and cfg.mlp_bounds in cfg.network_heads):
+            raise ValueError('bb IoU loss requires offsets+bounds heads')
+        if cfg.loss_weight_bb_iou is None:
+            raise ValueError('bb IoU loss requires --loss_weight_bb_iou')
+    return cfg
+
+
+def set_fixed_seed(cfg):
+    """Seed every host RNG (reference: config_loader.py:359-365). JAX keys are derived
+    from cfg.fixed_seed explicitly at use sites."""
+    random.seed(cfg.fixed_seed)
+    np.random.seed(cfg.fixed_seed)
+    print(f'Fixed seed is: {cfg.fixed_seed}')
+
+
+if __name__ == '__main__':
+    print(get_config())

@@ -1,0 +1,136 @@
+"""SelectionNet: the 7-down/7-up sparse voxel U-Net with per-oversegment voting heads.
+
+Topology-parity with the reference (models/detection_net.py:13-27,34-230):
+  * stem 5^3 conv -> 32 ch at stride 1,
+  * 7 encoder stages (stride-2 2^3 conv + BN + ReLU + `layers` BasicBlocks) with
+    block widths (32, 64, 128, 256, 256, 256, 256) at strides 2..128,
+  * 7 decoder stages (stride-2 transpose conv + BN + ReLU + skip-concat + blocks)
+    with widths (256, 256, 256, 256, 128, 96, 96) back down to stride 1,
+  * per-oversegment average (or max) pooling of the final 96-d voxel features
+    (reference's batch-column pooling trick, detection_net.py:345-352 — here a
+    segment mean, sparse/ops.py),
+  * head MLPs (Linear-ReLU-BN x2 + Linear) per configured head
+    (detection_net.py:170-226): offsets(3), bounds(3), bb_scores(1),
+    center_scores(1), semantics(C), per_vox_semantics(C).
+
+The forward consumes a `SparseBatch` dict (sparse/coords.py + datasets/batching.py):
+padded pyramid + neighbor maps + voxel features + pooling ids.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from box2mask_tpu.nn.modules import (
+    BasicBlock, Linear1x1, MaskedBatchNorm, SparseConv, SparseConvTranspose)
+from box2mask_tpu.sparse import ops
+
+INIT_DIM = 32
+ENC_PLANES = (32, 64, 128, 256, 256, 256, 256)      # blocks at levels 1..7
+DEC_PLANES = (256, 256, 256, 256, 128, 96, 96)      # tr-conv/block out, levels 6..0
+OUT_DIM = 96
+
+
+class HeadMLP(nn.Module):
+    """3-layer 1x1-conv MLP head (reference detection_net.py:170-194)."""
+    out_dim: int
+    hidden: int = 96
+    axis_name: Optional[str] = None
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, valid, n_valid, train: bool):
+        h = Linear1x1(self.hidden, compute_dtype=self.compute_dtype)(x)
+        h = nn.relu(h)
+        h = MaskedBatchNorm(axis_name=self.axis_name)(h, valid, n_valid, train)
+        h = Linear1x1(self.hidden, compute_dtype=self.compute_dtype)(h)
+        h = nn.relu(h)
+        h = MaskedBatchNorm(axis_name=self.axis_name)(h, valid, n_valid, train)
+        return Linear1x1(self.out_dim, compute_dtype=self.compute_dtype)(h)
+
+
+class SelectionNet(nn.Module):
+    num_classes: int
+    heads: Tuple[str, ...] = ('mlp_offsets', 'mlp_bounds', 'mlp_bb_scores',
+                              'mlp_semantics')
+    layers: int = 2
+    do_segment_pooling: bool = True
+    max_pool_segments: bool = False
+    mlp_bounds_relu: bool = False
+    stem_kernel: int = 5
+    axis_name: Optional[str] = None
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        cd = self.compute_dtype
+        ax = self.axis_name
+
+        def bn(name):
+            return MaskedBatchNorm(axis_name=ax, name=name)
+
+        def blocks(x, level, planes, stage):
+            nbr = batch[f'nmap3_{level}']
+            v, n = batch[f'valid{level}'], batch[f'num{level}']
+            for i in range(self.layers):
+                x = BasicBlock(planes, axis_name=ax, compute_dtype=cd,
+                               name=f'{stage}_block{i}')(x, nbr, v, n, train)
+            return x
+
+        # ---- stem (stride 1)
+        x = SparseConv(INIT_DIM, self.stem_kernel ** 3, compute_dtype=cd,
+                       name='stem_conv')(batch['vox_features'], batch['nmap5_0'])
+        x = bn('stem_bn')(x, batch['valid0'], batch['num0'], train)
+        x = nn.relu(x)
+        stem_out = x
+
+        # ---- encoder: levels 1..7
+        skips = [stem_out]
+        for l in range(1, 8):
+            x = SparseConv(x.shape[-1], 8, compute_dtype=cd,
+                           name=f'down{l}_conv')(x, batch[f'down{l - 1}'])
+            x = bn(f'down{l}_bn')(x, batch[f'valid{l}'], batch[f'num{l}'], train)
+            x = nn.relu(x)
+            x = blocks(x, l, ENC_PLANES[l - 1], f'enc{l}')
+            skips.append(x)
+
+        # ---- decoder: levels 6..0 (skip connections from encoder levels 6..0)
+        for i, l in enumerate(range(6, -1, -1)):
+            x = SparseConvTranspose(DEC_PLANES[i], compute_dtype=cd,
+                                    name=f'up{l}_tr')(
+                x, batch[f'up_parent{l}'], batch[f'up_widx{l}'])
+            x = bn(f'up{l}_bn')(x, batch[f'valid{l}'], batch[f'num{l}'], train)
+            x = nn.relu(x)
+            x = jnp.concatenate([x, skips[l]], axis=-1)
+            x = blocks(x, l, DEC_PLANES[i], f'dec{l}')
+
+        outputs = {}
+        requires_vox = any('per_vox' in h for h in self.heads)
+        if requires_vox:
+            outputs['vox_feats'] = x
+
+        if self.do_segment_pooling:
+            pooled = ops.segment_pool(
+                x, batch['pooling_ids'], batch['seg_valid'].shape[0],
+                mode='max' if self.max_pool_segments else 'avg')
+            pv, pn = batch['seg_valid'], batch['num_segments']
+        else:
+            pooled, pv, pn = x, batch['valid0'], batch['num0']
+
+        head_dims = {'mlp_offsets': 3, 'mlp_bounds': 3, 'mlp_bb_scores': 1,
+                     'mlp_center_scores': 1, 'mlp_semantics': self.num_classes,
+                     'mlp_per_vox_semantics': self.num_classes}
+        for head in self.heads:
+            if 'per_vox' in head:
+                out = HeadMLP(head_dims[head], axis_name=ax, compute_dtype=cd,
+                              name=head)(x, batch['valid0'], batch['num0'], train)
+            else:
+                out = HeadMLP(head_dims[head], axis_name=ax, compute_dtype=cd,
+                              name=head)(pooled, pv, pn, train)
+            if self.mlp_bounds_relu and head == 'mlp_bounds':
+                out = nn.relu(out)
+            outputs[head] = out
+        return outputs

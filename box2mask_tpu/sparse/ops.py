@@ -1,0 +1,138 @@
+"""Device-side sparse-voxel ops: gather-GEMM convolutions, transpose convs, masked
+batch norm, segment pooling.
+
+TPU replacement for MinkowskiEngine's CUDA kernels (reference call sites:
+models/detection_net.py:37-230,345-352). All ops take static-shape padded arrays from
+sparse/coords.py; the convention is:
+
+  * features x: (V_pad, C); rows >= num_valid are padding,
+  * neighbor maps nbr: (Vout_pad, K) int32 with value == Vin_pad meaning "missing" —
+    each op appends a single zero feature row at index Vin_pad, so missing neighbors
+    contribute nothing without masks in the inner loop,
+  * matmuls run on the MXU in `compute_dtype` (bfloat16 by default) and accumulate in
+    float32 (`preferred_element_type`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _zpad(x):
+    """Append one zero row (the 'missing neighbor' target)."""
+    return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+
+
+def gather_conv(x, nbr, w, compute_dtype=jnp.bfloat16, unroll_threshold=9):
+    """Sparse convolution: out[v] = sum_k x[nbr[v, k]] @ w[k].
+
+    x:   (Vin_pad, Cin)
+    nbr: (Vout_pad, K) int32, Vin_pad == missing
+    w:   (K, Cin, Cout)
+    returns (Vout_pad, Cout) float32
+    """
+    K = w.shape[0]
+    xz = _zpad(x.astype(compute_dtype))
+    wc = w.astype(compute_dtype)
+    if K <= unroll_threshold:
+        out = jnp.zeros((nbr.shape[0], w.shape[2]), jnp.float32)
+        for k in range(K):
+            out = out + jnp.dot(jnp.take(xz, nbr[:, k], axis=0), wc[k],
+                                preferred_element_type=jnp.float32)
+        return out
+
+    def body(acc, inp):
+        idx, wk = inp
+        acc = acc + jnp.dot(jnp.take(xz, idx, axis=0), wk,
+                            preferred_element_type=jnp.float32)
+        return acc, None
+
+    init = jnp.zeros((nbr.shape[0], w.shape[2]), jnp.float32)
+    out, _ = jax.lax.scan(body, init, (nbr.T, wc))
+    return out
+
+
+def up_conv(x_coarse, parent, widx, w, compute_dtype=jnp.bfloat16):
+    """Stride-2 transpose ("generative up") convolution from level l+1 to level l.
+
+    Every fine output voxel has exactly one coarse parent and one of 8 weight slots
+    (sparse/coords.py up_parent/up_widx). We compute all 8 candidate outputs per
+    coarse voxel with one batched einsum (U*8*Cin*Cout FLOPs ~= Vfine*Cin*Cout, 8x
+    cheaper than masked matmuls) and gather the right row per fine voxel.
+
+    x_coarse: (U_pad, Cin); parent: (Vfine_pad,) int32 with U_pad == missing;
+    widx: (Vfine_pad,) int32 in [0, 8); w: (8, Cin, Cout).
+    """
+    U = x_coarse.shape[0]
+    cout = w.shape[2]
+    y = jnp.einsum('uc,kcd->ukd', x_coarse.astype(compute_dtype),
+                   w.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+    y = y.reshape(U * 8, cout)
+    y = jnp.concatenate([y, jnp.zeros((1, cout), y.dtype)], axis=0)
+    idx = jnp.where(parent >= U, U * 8, parent * 8 + widx)
+    return jnp.take(y, idx, axis=0)
+
+
+def linear(x, w, b=None, compute_dtype=jnp.bfloat16):
+    """1x1 sparse conv == dense per-voxel linear layer (head MLPs,
+    reference detection_net.py:170-194)."""
+    out = jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b
+    return out
+
+
+def masked_moments(x, valid, n_valid, axis_name=None):
+    """Mean/variance over valid rows only (padding excluded exactly —
+    MinkowskiBatchNorm averages over active voxels). With `axis_name`, sums are
+    psum'd across the mesh axis => SyncBatchNorm semantics
+    (reference models/model.py:25)."""
+    m = valid.astype(jnp.float32)[:, None]
+    s1 = jnp.sum(x.astype(jnp.float32) * m, axis=0)
+    s2 = jnp.sum(jnp.square(x.astype(jnp.float32)) * m, axis=0)
+    n = n_valid.astype(jnp.float32)
+    if axis_name is not None:
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+        n = jax.lax.psum(n, axis_name)
+    n = jnp.maximum(n, 1.0)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    return mean, var, n
+
+
+def segment_sum(x, seg_ids, num_segments):
+    """segment_sum with an extra trash segment: ids == num_segments are dropped."""
+    s = jax.ops.segment_sum(x, seg_ids, num_segments=num_segments + 1)
+    return s[:num_segments]
+
+
+def segment_mean(x, seg_ids, num_segments):
+    s = segment_sum(x, seg_ids, num_segments)
+    cnt = segment_sum(jnp.ones((x.shape[0], 1), jnp.float32), seg_ids, num_segments)
+    return s / jnp.maximum(cnt, 1.0), cnt[:, 0]
+
+
+def segment_max(x, seg_ids, num_segments):
+    s = jax.ops.segment_max(x, seg_ids, num_segments=num_segments + 1)
+    s = jnp.where(jnp.isfinite(s), s, 0.0)
+    return s[:num_segments]
+
+
+def segment_pool(x, pooling_ids, num_segments, mode='avg'):
+    """Per-oversegment pooling of voxel features.
+
+    Replaces the reference's batch-column rewrite + MinkowskiGlobalAvg/MaxPooling
+    trick (models/detection_net.py:345-352). `pooling_ids` must map padded voxels to
+    `num_segments` (the trash row)."""
+    if mode == 'avg':
+        pooled, _ = segment_mean(x, pooling_ids, num_segments)
+        return pooled
+    elif mode == 'max':
+        return segment_max(x, pooling_ids, num_segments)
+    raise ValueError(mode)

@@ -1,0 +1,17 @@
+"""Test env: force an 8-device virtual CPU mesh so multi-chip sharding paths are
+exercised without TPU hardware.
+
+Note: the axon TPU plugin force-sets JAX_PLATFORMS=axon at interpreter start, so the
+env var alone is not enough — we must override through jax.config before the backend
+initializes."""
+
+import os
+
+if '--xla_force_host_platform_device_count' not in os.environ.get('XLA_FLAGS', ''):
+    os.environ['XLA_FLAGS'] = (
+        os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8')
+os.environ['JAX_PLATFORMS'] = 'cpu'
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
