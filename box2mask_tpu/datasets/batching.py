@@ -1,0 +1,110 @@
+"""Batch assembly: per-scene dicts -> one padded, static-shape device batch.
+
+Replaces the reference's collate_fn + ME.utils.batched_coordinates
+(models/dataloader.py:946-995). Differences by design (DESIGN.md):
+  * instead of a batch-index coordinate column, scenes are concatenated with
+    row-offset-shifted neighbor maps (sparse/coords.py.batch_pyramids) — convs can
+    never mix scenes,
+  * every array is padded to bucketed sizes (XLA static shapes); `valid*` masks and
+    `num*` counts exclude padding exactly,
+  * `pooling_ids` maps every finest-level voxel to its globally-renumbered
+    oversegment (the reference's to_unique, utils/util.py:123-130); padded voxels
+    map to the trash segment S_pad.
+
+Returns (device_batch, host_meta): device_batch is a flat dict of np arrays ready
+for jnp; host_meta keeps per-scene Python objects (scene/labels/projection
+indices) needed by post-processing and eval.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from box2mask_tpu.sparse import coords as C
+from box2mask_tpu.datasets import tables
+
+
+def map_semantics_to_idx(sem_ids, id2idx):
+    """Dataset id -> dense class index; invalid/ignore -> -100
+    (reference SEMANTIC_ID2IDX tables, scannet.py:116-118)."""
+    sem_ids = np.asarray(sem_ids)
+    valid = (sem_ids >= 0) & (sem_ids < len(id2idx))
+    safe = np.clip(sem_ids, 0, len(id2idx) - 1)
+    return np.where(valid, id2idx[safe], tables.IGNORE).astype(np.int32)
+
+
+def _pad_to(arr, n, fill=0):
+    pad_n = n - arr.shape[0]
+    if pad_n <= 0:
+        return arr[:n]
+    pad_shape = (pad_n,) + arr.shape[1:]
+    return np.concatenate([arr, np.full(pad_shape, fill, arr.dtype)], axis=0)
+
+
+def build_batch(rets, cfg, sem_id2idx, mode='train', pyramids=None):
+    """rets: list of per-scene dicts from voxelize_scene (+ supervision)."""
+    if pyramids is None:
+        pyramids = [C.build_scene_pyramid(r['vox_coords']) for r in rets]
+    dev = C.batch_pyramids(pyramids, vox_bucket=cfg.vox_bucket)
+    V0p = dev['coords0'].shape[0]
+
+    feats = np.concatenate([r['vox_features'] for r in rets], axis=0)
+    dev['vox_features'] = _pad_to(feats.astype(np.float32), V0p)
+
+    if cfg.do_segment_pooling:
+        seg_sizes = [len(r['input_location']) for r in rets]
+        S_total = sum(seg_sizes)
+        S_pad = max(C.round_up(S_total, cfg.seg_bucket), cfg.seg_bucket)
+        seg_off = np.concatenate([[0], np.cumsum(seg_sizes)])
+        pooling = np.concatenate(
+            [r['seg2vox'] + seg_off[i] for i, r in enumerate(rets)])
+        dev['pooling_ids'] = _pad_to(pooling.astype(np.int32), V0p, fill=S_pad)
+        dev['seg_valid'] = np.arange(S_pad) < S_total
+        dev['num_segments'] = np.int32(S_total)
+        dev['batch_ids'] = _pad_to(
+            np.concatenate([np.full(seg_sizes[i], i, np.int32)
+                            for i in range(len(rets))]), S_pad, fill=-1)
+        S_axis = S_pad
+    else:
+        # per-voxel prediction: the "segment" axis is the voxel axis
+        dev['pooling_ids'] = np.minimum(np.arange(V0p), V0p).astype(np.int32)
+        dev['seg_valid'] = dev['valid0']
+        dev['num_segments'] = dev['num0']
+        dev['batch_ids'] = dev['batch0']
+        S_axis = V0p
+
+    loc = np.concatenate([r['input_location'] for r in rets], axis=0)
+    dev['input_location'] = _pad_to(loc.astype(np.float32), S_axis)
+
+    host = {
+        'scene': [r['scene'] for r in rets],
+        'labels': [r.get('labels') for r in rets],
+        'vox2point': [r['vox2point'] for r in rets],
+        'point2vox': [r['point2vox'] for r in rets],
+        'seg2vox': [r.get('seg2vox') for r in rets],
+        'seg2point': [r.get('seg2point') for r in rets],
+        'vox_segments': [r['vox_segments'] for r in rets],
+        'input_location': [r['input_location'] for r in rets],
+        'vox_world_coords': [r['vox_world_coords'] for r in rets],
+        'num_voxels': [len(r['vox_coords']) for r in rets],
+    }
+
+    if mode == 'test' or 'gt_bb_offsets' not in rets[0]:
+        return dev, host
+
+    for key, fill in (('gt_bb_offsets', 0.0), ('gt_bb_bounds', 0.0)):
+        arr = np.concatenate([r[key] for r in rets], axis=0).astype(np.float32)
+        dev[key] = _pad_to(arr, S_axis)
+    fg = np.concatenate([r['fg_instances'] for r in rets]).astype(bool)
+    dev['fg_instances'] = _pad_to(fg, S_axis)
+    gt_sem = np.concatenate([r['gt_semantics'] for r in rets])
+    dev['gt_semantics'] = _pad_to(gt_sem.astype(np.int32), S_axis, fill=0)
+    dev['gt_semantics_idx'] = _pad_to(
+        map_semantics_to_idx(gt_sem, sem_id2idx), S_axis, fill=tables.IGNORE)
+    if 'gt_per_vox_semantics' in rets[0]:
+        pv = np.concatenate([r['gt_per_vox_semantics'] for r in rets])
+        dev['gt_per_vox_semantics'] = _pad_to(pv.astype(np.int32), V0p, fill=0)
+        dev['gt_per_vox_semantics_idx'] = _pad_to(
+            map_semantics_to_idx(pv, sem_id2idx), V0p, fill=tables.IGNORE)
+    host['instance_ids'] = [r.get('instance_ids') for r in rets]
+    return dev, host
