@@ -108,3 +108,61 @@ def build_batch(rets, cfg, sem_id2idx, mode='train', pyramids=None):
             map_semantics_to_idx(pv, sem_id2idx), V0p, fill=tables.IGNORE)
     host['instance_ids'] = [r.get('instance_ids') for r in rets]
     return dev, host
+
+
+# key -> (row_axis, input_axis) where axes are 'L<level>' or 'S' (segment axis).
+def _batch_key_layout(num_levels=8):
+    layout = {}
+    for l in range(num_levels):
+        layout[f'coords{l}'] = (f'L{l}', None, 0)
+        layout[f'valid{l}'] = (f'L{l}', None, False)
+        layout[f'batch{l}'] = (f'L{l}', None, -1)
+        layout[f'nmap3_{l}'] = (f'L{l}', f'L{l}', None)
+    layout['nmap5_0'] = ('L0', 'L0', None)
+    for l in range(num_levels - 1):
+        layout[f'down{l}'] = (f'L{l + 1}', f'L{l}', None)
+        layout[f'up_parent{l}'] = (f'L{l}', f'L{l + 1}', None)
+        layout[f'up_widx{l}'] = (f'L{l}', None, 0)
+    layout['vox_features'] = ('L0', None, 0)
+    layout['pooling_ids'] = ('L0', 'S', None)
+    layout['gt_per_vox_semantics'] = ('L0', None, 0)
+    layout['gt_per_vox_semantics_idx'] = ('L0', None, tables.IGNORE)
+    for k, fill in (('input_location', 0), ('gt_bb_offsets', 0),
+                    ('gt_bb_bounds', 0), ('fg_instances', False),
+                    ('seg_valid', False), ('batch_ids', -1),
+                    ('gt_semantics', 0), ('gt_semantics_idx', tables.IGNORE)):
+        layout[k] = ('S', None, fill)
+    return layout
+
+
+def repad_batch(dev, target_sizes, num_levels=8):
+    """Re-pad a device batch to larger per-axis sizes ('L<l>' and 'S'), rewriting
+    sentinel indices (== old input-axis pad size) to the new pad size. Needed to
+    stack per-device batches of a data-parallel step to one common shape."""
+    cur = {f'L{l}': dev[f'coords{l}'].shape[0] for l in range(num_levels)}
+    cur['S'] = dev['seg_valid'].shape[0] if 'seg_valid' in dev else None
+    layout = _batch_key_layout(num_levels)
+    out = {}
+    for k, v in dev.items():
+        if k not in layout:
+            out[k] = v      # scalars (num{l}, num_segments)
+            continue
+        row_axis, in_axis, fill = layout[k]
+        n_new = target_sizes[row_axis]
+        v = np.asarray(v)
+        if in_axis is not None:
+            old_sent, new_sent = cur[in_axis], target_sizes[in_axis]
+            v = np.where(v == old_sent, new_sent, v)
+            fill = new_sent
+        out[k] = _pad_to(v, n_new, fill=fill)
+    return out
+
+
+def collate_device_batches(batches, num_levels=8):
+    """Stack D per-device batches into leading-axis-D arrays (equal shapes via
+    repad_batch to the per-axis maxima)."""
+    axes = [f'L{l}' for l in range(num_levels)] + ['S']
+    target = {a: max(b['coords' + a[1:]].shape[0] if a.startswith('L')
+                     else b['seg_valid'].shape[0] for b in batches) for a in axes}
+    padded = [repad_batch(b, target, num_levels) for b in batches]
+    return {k: np.stack([p[k] for p in padded]) for k in padded[0]}
