@@ -1,0 +1,237 @@
+"""Dataset classes + prefetching batch loader.
+
+Surface-parity with the reference Dataset classes (models/dataloader.py:23-48
+ScanNet.__init__ modes/overfit/dataset_size flags, :316-341 get_loader) — but the
+loader is a thread-pool prefetcher feeding padded device batches instead of 16
+fork-based worker processes: our per-scene work is vectorized NumPy (releases the
+GIL), and batches overlap with device compute via a bounded queue.
+
+Dataset names: scannet / arkitscenes / s3dis (real readers in datasets/{name}.py)
+plus 'synthetic' (datasets/synthetic.py) for dataset-free runs, tests and bench.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from box2mask_tpu.datasets import synthetic, supervision
+from box2mask_tpu.datasets.voxelize import voxelize_scene
+from box2mask_tpu.datasets.batching import build_batch
+from box2mask_tpu.datasets.tables import get_tables
+
+
+class SceneDataset:
+    """Base: data_list + process_scene -> voxelized+supervised ret dict."""
+
+    dataset_name = None
+
+    def __init__(self, mode, cfg, do_augmentations=True):
+        self.mode = mode
+        self.cfg = cfg
+        self.do_augmentations = do_augmentations
+        self.data_list = self._build_data_list(mode, cfg)
+        # debug/overfit harness (reference models/dataloader.py:41-48)
+        if cfg.overfit_to_single_scene is not None:
+            self.data_list = [self.data_list[cfg.overfit_to_single_scene]] * 100
+        if cfg.overfit_to_single_scene_str is not None:
+            self.data_list = [cfg.overfit_to_single_scene_str] * 100
+        if cfg.dataset_size is not None:
+            self.data_list = self.data_list[:cfg.dataset_size]
+        _, self.sem_id2idx, _, _ = get_tables(self.table_name)
+
+    @property
+    def table_name(self):
+        return self.dataset_name if self.dataset_name != 'synthetic' else 'scannet'
+
+    def _build_data_list(self, mode, cfg):
+        raise NotImplementedError
+
+    def read_scene(self, scene_name):
+        """-> (scene, labels) dicts."""
+        raise NotImplementedError
+
+    def __len__(self):
+        return len(self.data_list)
+
+    def __getitem__(self, idx):
+        scene_name = self.data_list[idx]
+        scene, labels = self.read_scene(scene_name)
+        ret = voxelize_scene(scene, self.cfg)
+        if self.mode == 'test' or labels is None:
+            return ret
+        ret['labels'] = labels
+        supervision.build_supervision(ret, labels, scene, self.cfg,
+                                      self.dataset_name
+                                      if self.dataset_name != 'synthetic'
+                                      else 'scannet', self.mode)
+        return ret
+
+    def get_loader(self, shuffle=True, drop_last=True, batch_size=None,
+                   num_shards=1, seed=None):
+        return BatchLoader(self, self.cfg,
+                           batch_size or self.cfg.batch_size, shuffle=shuffle,
+                           drop_last=drop_last, num_shards=num_shards, seed=seed)
+
+
+class Synthetic(SceneDataset):
+    dataset_name = 'synthetic'
+    SPLIT_SIZES = {'train': 64, 'val': 16, 'test': 8, 'train+val': 80}
+
+    def _build_data_list(self, mode, cfg):
+        if mode == 'predict_specific_scene':
+            return [cfg.predict_specific_scene]
+        n = self.SPLIT_SIZES.get(mode, 16)
+        base = {'train': 0, 'val': 10000, 'test': 20000}.get(
+            mode.split('+')[0], 0)
+        return [f'synth{base + i:05d}_00' for i in range(n)]
+
+    def read_scene(self, scene_name):
+        seed = int(scene_name[5:10])
+        return synthetic.make_scene(seed=seed, name=scene_name)
+
+
+class ScanNet(SceneDataset):
+    dataset_name = 'scannet'
+
+    def _build_data_list(self, mode, cfg):
+        if mode == 'predict_specific_scene':
+            return [cfg.predict_specific_scene]
+        if mode == 'train+val':
+            d = np.load(cfg.data_split, allow_pickle=True)
+            return np.concatenate((d['train'], d['val']))
+        return np.load(cfg.data_split, allow_pickle=True)[mode]
+
+    def read_scene(self, scene_name):
+        from box2mask_tpu.datasets import scannet
+        return scannet.process_scene(scene_name, self.mode, self.cfg,
+                                     do_augmentations=self.do_augmentations)
+
+
+class ARKitScenes(SceneDataset):
+    dataset_name = 'arkitscenes'
+
+    def _build_data_list(self, mode, cfg):
+        if mode == 'predict_specific_scene':
+            return [cfg.predict_specific_scene]
+        sub = {'train': '3dod/Training', 'val': '3dod/Validation'}[mode]
+        files = [f for f in os.listdir(os.path.join(cfg.data_dir, sub))
+                 if f.startswith('4')]
+        return np.array(files)
+
+    def read_scene(self, scene_name):
+        from box2mask_tpu.datasets import arkitscenes
+        return arkitscenes.process_scene(
+            scene_name, self.mode, self.cfg,
+            do_augmentations=self.do_augmentations,
+            subsample_rate=self.cfg.subsample_rate)
+
+
+class S3DIS(SceneDataset):
+    dataset_name = 's3dis'
+
+    def _build_data_list(self, mode, cfg):
+        if mode == 'predict_specific_scene':
+            return [cfg.predict_specific_scene]
+        from box2mask_tpu.datasets import s3dis
+        return s3dis.get_scene_names(mode, cfg)
+
+    def read_scene(self, scene_name):
+        from box2mask_tpu.datasets import s3dis
+        return s3dis.process_scene(scene_name, self.mode, self.cfg,
+                                   do_augmentations=self.do_augmentations)
+
+
+DATASETS = {'scannet': ScanNet, 'arkitscenes': ARKitScenes, 's3dis': S3DIS,
+            'synthetic': Synthetic}
+
+
+def get_dataset(cfg, mode, do_augmentations=True):
+    return DATASETS[cfg.dataset_name](mode, cfg, do_augmentations)
+
+
+class BatchLoader:
+    """Iterates (device_batch, host_meta) with background prefetch.
+
+    num_shards > 1 yields a LIST of per-device batches per step (stacked later by
+    collate_device_batches) — the DistributedSampler analog
+    (models/dataloader.py:334-341): the scene list is sharded round-robin."""
+
+    def __init__(self, dataset, cfg, batch_size, shuffle=True, drop_last=True,
+                 num_shards=1, seed=None):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.seed = seed
+        self.epoch = 0
+        self._pool = ThreadPoolExecutor(max_workers=max(1, min(
+            cfg.num_workers, batch_size * num_shards)))
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset) // (self.batch_size * self.num_shards)
+        if not self.drop_last and len(self.dataset) % (
+                self.batch_size * self.num_shards):
+            n += 1
+        return max(n, 0)
+
+    def _order(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            seed = (self.seed if self.seed is not None
+                    else (self.cfg.fixed_seed or 0)) + self.epoch
+            np.random.default_rng(seed).shuffle(idx)
+        return idx
+
+    def _build(self, indices):
+        rets = list(self._pool.map(self.dataset.__getitem__, indices))
+        per_shard = len(indices) // self.num_shards if self.num_shards > 1 else None
+        if self.num_shards == 1:
+            return build_batch(rets, self.cfg, self.dataset.sem_id2idx,
+                               mode=self.dataset.mode)
+        shards = [
+            build_batch(rets[i * per_shard:(i + 1) * per_shard], self.cfg,
+                        self.dataset.sem_id2idx, mode=self.dataset.mode)
+            for i in range(self.num_shards)]
+        return shards
+
+    def __iter__(self):
+        order = self._order()
+        group = self.batch_size * self.num_shards
+        steps = []
+        for i in range(0, len(order), group):
+            chunk = order[i:i + group]
+            if len(chunk) < group and self.drop_last:
+                break
+            steps.append(chunk)
+
+        prefetch = max(1, self.cfg.prefetch_batches)
+        q = queue.Queue(maxsize=prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for chunk in steps:
+                    q.put(self._build(chunk))
+            except BaseException as e:   # surface worker errors to the consumer
+                q.put(e)
+            q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item

@@ -1,0 +1,380 @@
+"""Evaluation / prediction driver.
+
+Surface-parity with the reference Evaluater (models/evaluation.py:36-734):
+checkpoint selection (explicit / closest-to-N-hours / latest), batch-size-1
+dataset prediction with pickle caching keyed by batch size + seed, pred->mask
+conversion, per-dataset evaluation protocols (ScanNet official AP /
+ARKitScenes VOC OBB AP / S3DIS mPrec+mRec), eval-threshold param search,
+ScanNet-benchmark submission write-out, and visualization production.
+
+Differences by design: param search runs the grid in-process against the cached
+predictions instead of spawning slurm sbatch jobs (evaluation.py:353-366) — the
+expensive network forward is shared across all threshold combinations.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import uuid
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from box2mask_tpu.engine import checkpoint as ckpt
+from box2mask_tpu.engine import state as S
+from box2mask_tpu.datasets.tables import get_tables
+from box2mask_tpu.postprocess.detection2mask import detection_to_masks
+from box2mask_tpu.metrics import scannet_ap, detection_ap, box3d, s3dis_metrics
+
+
+class Evaluater:
+    def __init__(self, cfg, state=None, model=None, writer=None, epoch=None):
+        self.cfg = cfg
+        self.writer = writer
+        self.epoch = epoch
+        (self.valid_class_ids, self.sem_id2idx, self.inst_id2idx,
+         self.is_foreground) = get_tables(
+            cfg.dataset_name if cfg.dataset_name != 'synthetic' else 'scannet')
+        self.model = model or S.build_model(cfg, len(self.valid_class_ids))
+        self.state = state
+        self._forward = S.make_forward(cfg, self.model)
+        self.ckpt_name = 'untrained'
+        self._needs_restore = state is None
+        self.results_path = None
+
+    # ------------------------------------------------------------ state mgmt
+    def _ensure_state(self, sample_batch):
+        if self.state is None:
+            tx = S.make_optimizer(self.cfg)
+            init_model = S.build_model(self.cfg, len(self.valid_class_ids))
+            self.state = S.init_state(self.cfg, init_model, tx, sample_batch)
+        if self._needs_restore:
+            path = ckpt.find_checkpoint(self.cfg.checkpoint_path,
+                                        self.cfg.checkpoint,
+                                        self.cfg.load_ckpt_closest_to)
+            if path is not None and os.path.exists(path):
+                (self.state, _, _, _, self.ckpt_name) = ckpt.load_checkpoint(
+                    path, self.state, strict=not self.cfg.loose_model_loading)
+                print(f'Loaded checkpoint: {self.ckpt_name}')
+            else:
+                print(f'No checkpoint at {self.cfg.checkpoint_path}; '
+                      'evaluating the untrained model')
+            self._needs_restore = False
+        if self.results_path is None:
+            self.results_path = os.path.join(self.cfg.exp_path, 'results',
+                                             self.ckpt_name)
+            os.makedirs(self.results_path, exist_ok=True)
+
+    # ------------------------------------------------------------ prediction
+    def _predictions_cache_path(self, batch_size, dataset=None):
+        seed = self.cfg.fixed_seed if self.cfg.fixed_seed else 'noseed'
+        tag = ''
+        if dataset is not None:
+            import hashlib
+            names = ','.join(str(n) for n in dataset.data_list[:8])
+            h = hashlib.sha1(f'{dataset.mode}:{len(dataset)}:{names}'
+                             .encode()).hexdigest()[:8]
+            tag = f'_{dataset.mode}_{h}'
+        return os.path.join(self.results_path,
+                            f'predictions_bs{batch_size}_seed{seed}{tag}.pkl')
+
+    def dataset_prediction(self, dataset, batch_size=1, cache=True):
+        """Per-scene forward passes; returns list of (pred, dev, host)."""
+        loader = dataset.get_loader(shuffle=False, drop_last=False,
+                                    batch_size=batch_size)
+        entries = []
+        for dev_np, host in loader:
+            batch = {k: jnp.asarray(v) for k, v in dev_np.items()}
+            self._ensure_state(batch)
+            pred = self._forward(self.state.params, self.state.batch_stats,
+                                 batch)
+            pred = {k: np.asarray(v) for k, v in pred.items()}
+            keep = {k: dev_np[k] for k in
+                    ('num_segments', 'input_location', 'batch_ids', 'batch0',
+                     'num0') if k in dev_np}
+            entries.append((pred, keep, host))
+            print(f'predicted {[s["name"] for s in host["scene"]]}')
+        if cache:
+            path = self._predictions_cache_path(batch_size, dataset)
+            with open(path, 'wb') as f:
+                pickle.dump(entries, f)
+        return entries
+
+    def load_or_predict(self, dataset, batch_size=1):
+        self._ensure_state_from_dataset(dataset)
+        path = self._predictions_cache_path(batch_size, dataset)
+        if os.path.exists(path):
+            print(f'Reusing cached predictions: {path}')
+            with open(path, 'rb') as f:
+                return pickle.load(f)
+        return self.dataset_prediction(dataset, batch_size)
+
+    def _ensure_state_from_dataset(self, dataset):
+        if self.state is not None and not self._needs_restore:
+            if self.results_path is None:
+                self.results_path = os.path.join(self.cfg.exp_path, 'results',
+                                                 self.ckpt_name)
+                os.makedirs(self.results_path, exist_ok=True)
+            return
+        dev_np, _ = next(iter(dataset.get_loader(
+            shuffle=False, drop_last=False, batch_size=1)))
+        self._ensure_state({k: jnp.asarray(v) for k, v in dev_np.items()})
+
+    def pred_entries_to_results(self, entries, ths=None):
+        """pred2mask over all batches (models/evaluation.py:94-98)."""
+        results = {}
+        for pred, dev, host in entries:
+            r = detection_to_masks(pred, dev, host, self.cfg,
+                                   self.valid_class_ids, self.is_foreground,
+                                   mode='eval', ths=ths)
+            results.update(r)
+        return results
+
+    # ------------------------------------------------------------------ eval
+    def eval(self, dataset, write_to_tb=None):
+        entries = self.load_or_predict(dataset)
+        if self.cfg.dataset_name in ('scannet', 'synthetic'):
+            results = self.pred_entries_to_results(entries)
+            return self.scannet_eval(results, entries,
+                                     write_to_tb=write_to_tb)
+        if self.cfg.dataset_name == 'arkitscenes':
+            results = self.pred_entries_to_results(entries)
+            return self.arkitscenes_eval(results, entries)
+        if self.cfg.dataset_name == 's3dis':
+            return self.s3dis_eval(entries)
+        raise ValueError(self.cfg.dataset_name)
+
+    # ---------------------------------------------------------- ScanNet eval
+    def gt_ids_for_entries(self, entries):
+        """GT per-point ids: from gt_instance_data_txt when present (the
+        reference's gt encoding, utils/gt2eval.py:15), else derived from labels."""
+        gt_root = os.path.join(self.cfg.data_dir, 'gt_instance_data_txt')
+        out = {}
+        for _, _, host in entries:
+            for scene, labels in zip(host['scene'], host['labels']):
+                name = scene['name']
+                txt = os.path.join(gt_root, f'{name}.txt')
+                if os.path.exists(txt):
+                    out[name] = np.loadtxt(txt, dtype=np.int64)
+                else:
+                    out[name] = scannet_ap.encode_gt_ids(
+                        labels['semantics'], labels['instances'])
+        return out
+
+    def scannet_eval(self, results, entries, write_to_tb=None):
+        gt_ids = self.gt_ids_for_entries(entries)
+        avgs, ap, pr_curves = scannet_ap.evaluate_scannet(results, gt_ids)
+        table = scannet_ap.format_results_table(avgs)
+        print(table)
+
+        folder = os.path.join(
+            self.results_path,
+            ('param_search/' if self.cfg.eval_specific_param else '')
+            + f"mAP50_{avgs['all_ap_50%']:.3f}_eval_ths:"
+            + '_'.join(str(t) for t in (self.cfg.eval_ths or []))
+            + (f'_seed:{self.cfg.fixed_seed}' if self.cfg.fixed_seed
+               else f'_rid:{str(uuid.uuid1())[:8]}'))
+        os.makedirs(folder, exist_ok=True)
+        with open(os.path.join(folder, 'table.txt'), 'w') as f:
+            f.write(table + '\n')
+        self._write_pr_curves(folder, pr_curves)
+        if self.writer is not None and self.epoch is not None:
+            self.writer.add_scalar('val/mAP', avgs['all_ap'], self.epoch)
+            self.writer.add_scalar('val/mAP50', avgs['all_ap_50%'], self.epoch)
+            self.writer.add_scalar('val/mAP25', avgs['all_ap_25%'], self.epoch)
+        return avgs
+
+    def _write_pr_curves(self, folder, pr_curves):
+        try:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+            for th in (0.25, 0.5):
+                if th not in pr_curves:
+                    continue
+                fig, ax = plt.subplots(figsize=(7, 6))
+                for label, (prec, rec) in pr_curves[th].items():
+                    ax.plot(rec, prec, label=label)
+                ax.set_xlabel('recall')
+                ax.set_ylabel('precision')
+                ax.set_title(f'PR curves @ IoU {th}')
+                ax.legend(fontsize=6)
+                fig.savefig(os.path.join(folder, f'pr_curves_{th}.png'),
+                            dpi=120)
+                plt.close(fig)
+        except Exception as e:
+            print(f'PR curve plotting failed: {e}')
+
+    # ------------------------------------------------------- ARKitScenes eval
+    def arkitscenes_eval(self, results, entries, oriented_boxes=True,
+                         iou_t=0.5):
+        from scipy.spatial import ConvexHull
+        pred_all, gt_all = {}, {}
+        for _, _, host in entries:
+            for scene, labels in zip(host['scene'], host['labels']):
+                name = scene['name']
+                result = results[name]
+                gt_list = []
+                for i in range(len(labels['per_instance_bb_centers'])):
+                    rot = labels['per_instance_bb_rotations'][i].reshape(3, 3).T
+                    corners = box3d.oriented_corners(
+                        labels['per_instance_bb_bounds'][i], rot,
+                        labels['per_instance_bb_centers'][i])
+                    gt_list.append([int(labels['per_instance_semantics'][i]),
+                                    corners])
+                pred_list = []
+                for i in range(len(result['label_id'])):
+                    mask = np.asarray(result['mask'][i]) > 0
+                    pts = scene['positions'][mask]
+                    if len(pts) < 50:
+                        continue
+                    if oriented_boxes:
+                        hull = ConvexHull(pts[:, :2])
+                        v2 = pts[hull.vertices][:, :2]
+                        zmin, zmax = pts[:, 2].min(), pts[:, 2].max()
+                        bottom = np.concatenate(
+                            [v2, np.full((len(v2), 1), zmin)], axis=1)
+                        top = np.concatenate(
+                            [v2, np.full((len(v2), 1), zmax)], axis=1)
+                        bb = np.concatenate([bottom, top], axis=0)
+                    else:
+                        mn, mx = pts.min(0), pts.max(0)
+                        bb = np.concatenate([(mn + mx) / 2, mx - mn])
+                    pred_list.append([int(result['label_id'][i]), bb,
+                                      float(result['conf'][i])])
+                pred_all[name] = pred_list
+                gt_all[name] = gt_list
+
+        iou_func = (lambda a, b: box3d.hull_box_iou(a, b)[0]) \
+            if oriented_boxes else box3d.aabb_iou_cs
+        rec, prec, ap = detection_ap.eval_det(pred_all, gt_all,
+                                              ovthresh=iou_t,
+                                              get_iou_func=iou_func)
+        from box2mask_tpu.datasets.tables import ARKITSCENES_ID2NAME
+        for k, v in sorted(ap.items()):
+            print(f'{ARKITSCENES_ID2NAME.get(k, k):>15}: \t {v:.3f}')
+        vals = [v for v in ap.values() if not np.isnan(v)]
+        mAP = float(np.mean(vals)) if vals else 0.0
+        print('mAP:', mAP)
+        return mAP
+
+    # ------------------------------------------------------------ S3DIS eval
+    def s3dis_eval(self, entries):
+        from box2mask_tpu.postprocess.s3dis_background import (
+            clustering_for_background, assign_semantics_to_proposals)
+        gt_labels, pred_labels = [], []
+        for pred, dev, host in entries:
+            results = detection_to_masks(pred, dev, host, self.cfg,
+                                         self.valid_class_ids,
+                                         self.is_foreground, mode='eval')
+            for si, (scene, labels) in enumerate(zip(host['scene'],
+                                                     host['labels'])):
+                name = scene['name']
+                V = int(dev['num0'])
+                vox_batch = np.asarray(dev['batch0'])[:V] == si
+                vox_sem = np.argmax(
+                    np.asarray(pred[self.cfg.mlp_per_vox_semantics])[:V], 1)
+                vox_sem = vox_sem[vox_batch]
+                vox2point = host['vox2point'][si]
+                pred_sem = vox_sem[vox2point]
+
+                bg_inst = clustering_for_background(
+                    pred_sem, scene['positions'], scene['normals'])
+                masks = results[name]['mask']
+                prop_sem = assign_semantics_to_proposals(pred_sem, masks)
+
+                pred_inst = np.full_like(labels['instances'], -1)
+                final_sem = pred_sem.copy()
+                for idx, mask in enumerate(masks):
+                    if prop_sem[idx] < 3:      # bg classes handled separately
+                        continue
+                    mask = np.asarray(mask) > 0
+                    orig = mask.sum()
+                    mask = mask & (pred_inst < 0)
+                    kept = mask.sum()
+                    if orig == 0 or kept / orig < 0.6 or kept < 200:
+                        continue
+                    pred_inst[mask] = idx + 1
+                    final_sem[mask] = prop_sem[idx]
+
+                max_id = pred_inst.max()
+                bg = bg_inst > 0
+                pred_inst[bg] = bg_inst[bg] + max_id
+                # suppress per-class small fragments (<200 points)
+                for class_id in range(13):
+                    cm = pred_sem == class_id
+                    ids, cnts = np.unique(pred_inst[cm], return_counts=True)
+                    small = np.isin(pred_inst[cm], ids[cnts < 200])
+                    tmp = pred_inst[cm]
+                    tmp[small] = -1
+                    pred_inst[cm] = tmp
+
+                gt_labels.append({'semantics': labels['semantics'],
+                                  'instances': labels['instances']})
+                pred_labels.append({'semantics': pred_sem,
+                                    'instances': pred_inst})
+
+        out = s3dis_metrics.evaluate_s3dis(pred_labels, gt_labels)
+        print('mean Precision', out['mPrecision'])
+        print('mean Recall', out['mRecall'])
+        from box2mask_tpu.datasets.tables import S3DIS_CLASS_LABELS
+        for name, p, r in zip(S3DIS_CLASS_LABELS, out['precision'],
+                              out['recall']):
+            print(f'{name:>15}: prec {p:.3f} rec {r:.3f}')
+        return out
+
+    # ----------------------------------------------------------- param search
+    def param_search(self, dataset):
+        """Grid over the 4 eval thresholds (reference spawns slurm jobs,
+        evaluation.py:353-366; we sweep in-process on cached predictions)."""
+        cfg = self.cfg
+        entries = self.load_or_predict(dataset)
+        grids = [np.linspace(float(a), float(b), int(c)) for a, b, c in
+                 (cfg.cluster_th_search, cfg.score_th_search,
+                  cfg.mask_bin_th_search, cfg.mask_nms_th_search)]
+        best, table = None, []
+        for c_th in grids[0]:
+            for s_th in grids[1]:
+                for b_th in grids[2]:
+                    for n_th in grids[3]:
+                        ths = (c_th, s_th, b_th, n_th)
+                        results = self.pred_entries_to_results(entries, ths=ths)
+                        gt_ids = self.gt_ids_for_entries(entries)
+                        avgs, _, _ = scannet_ap.evaluate_scannet(results, gt_ids)
+                        score = avgs['all_ap_50%']
+                        table.append((ths, score))
+                        print(f'ths={ths} mAP50={score:.4f}')
+                        if best is None or score > best[1]:
+                            best = (ths, score)
+        out = os.path.join(self.results_path, 'param_search.txt')
+        with open(out, 'w') as f:
+            for ths, score in table:
+                f.write(f'{ths} {score}\n')
+            f.write(f'best {best}\n')
+        print(f'Best: ths={best[0]} mAP50={best[1]:.4f}')
+        return best
+
+    # ------------------------------------------------------------ submission
+    def submission_write_out(self, dataset, out_dir=None):
+        """ScanNet benchmark format: <scene>.txt lines
+        'predicted_masks/<scene>_<j>.txt label conf' + 0/1 mask files
+        (reference evaluation.py:617-650)."""
+        entries = self.load_or_predict(dataset)
+        results = self.pred_entries_to_results(entries)
+        out_dir = out_dir or os.path.join(self.results_path, 'submission')
+        mask_dir = os.path.join(out_dir, 'predicted_masks')
+        os.makedirs(mask_dir, exist_ok=True)
+        for name, r in results.items():
+            lines = []
+            for j in range(len(r['conf'])):
+                mask_file = f'predicted_masks/{name}_{j:03d}.txt'
+                lines.append(f'{mask_file} {int(r["label_id"][j])} '
+                             f'{float(r["conf"][j]):.4f}')
+                np.savetxt(os.path.join(out_dir, mask_file),
+                           np.asarray(r['mask'][j]).astype(np.int32), fmt='%d')
+            with open(os.path.join(out_dir, f'{name}.txt'), 'w') as f:
+                f.write('\n'.join(lines) + '\n')
+        print(f'Submission written to {out_dir}')
+        return out_dir

@@ -116,6 +116,42 @@ def box3d_vol(corners):
     return a * b * c
 
 
+def hull_box_iou(corners1, corners2):
+    """OBB-vs-hull IoU, the ARKit eval variant (reference box_util.py:101-140 with
+    the repo's bottom-face-first order): `corners1` may be a general prism — k
+    bottom hull vertices then k top vertices; `corners2` is an 8-corner box
+    (bottom 4 first). vol1 = footprint area x height (exact for prisms)."""
+    c1, c2 = np.asarray(corners1), np.asarray(corners2)
+    k = c1.shape[0] // 2
+    rect1 = [(c1[i, 0], c1[i, 1]) for i in range(k - 1, -1, -1)]
+    rect2 = [(c2[i, 0], c2[i, 1]) for i in [0, 1, 2, 3]]
+    area1, area2 = poly_area(rect1), poly_area(rect2)
+    _, inter_area = convex_hull_intersection(rect1, rect2)
+    iou_2d = inter_area / max(area1 + area2 - inter_area, 1e-12)
+    zmax = min(c1[-1, 2], c2[-1, 2])
+    zmin = max(c1[0, 2], c2[0, 2])
+    inter_vol = inter_area * max(0.0, zmax - zmin)
+    vol1 = area1 * (c1[-1, 2] - c1[0, 2])
+    vol2 = box3d_vol(c2)
+    return inter_vol / max(vol1 + vol2 - inter_vol, 1e-12), iou_2d
+
+
+def oriented_corners(bounds, rotation, translation):
+    """(8,3) OBB corners, bottom face first (reference box_util.py:360-383)."""
+    signs = np.array([[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+                      [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], np.float64)
+    local = signs * np.asarray(bounds)[None, :]
+    return (np.asarray(rotation) @ local.T).T + np.asarray(translation)
+
+
+def rotated_bounds(bb_bounds, rotation):
+    """Axis-aligned half-extents of a rotated box (box_util.py:339-357)."""
+    signs = np.array([[i, j, k] for i in (-1, 1) for j in (-1, 1)
+                      for k in (-1, 1)], np.float64)
+    corners = (np.asarray(rotation) @ (signs * np.asarray(bb_bounds)).T).T
+    return np.maximum(corners.max(axis=0), 0.0)
+
+
 def aabb_iou_cs(box_a, box_b):
     """IoU of (center, size) axis-aligned boxes — the get_iou used for AABB
     detection eval (reference utils/metric_util.py:91-113).
