@@ -55,8 +55,16 @@ def scene_stream(cfg, n, out_q):
     out_q.put(None)
 
 
+def _enable_compile_cache():
+    import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      '/root/.cache/jax_b2m_compile')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+
 def main():
     import jax
+    _enable_compile_cache()
     import jax.numpy as jnp
     from box2mask_tpu.engine import state as S
     from box2mask_tpu.postprocess.detection2mask import detection_to_masks
@@ -85,7 +93,8 @@ def main():
         dev, host = item
         batch = {k: jnp.asarray(v) for k, v in dev.items()}
         if variables is None:
-            variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+            variables = model.init(jax.random.PRNGKey(0),
+                                   S.materialize_maps(batch), train=False)
             params, stats = variables['params'], variables['batch_stats']
         pred = forward(params, stats, batch)
         pred = {k: np.asarray(v) for k, v in pred.items()}

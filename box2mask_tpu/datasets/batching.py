@@ -41,8 +41,29 @@ def _pad_to(arr, n, fill=0):
     return np.concatenate([arr, np.full(pad_shape, fill, arr.dtype)], axis=0)
 
 
-def build_batch(rets, cfg, sem_id2idx, mode='train', pyramids=None):
-    """rets: list of per-scene dicts from voxelize_scene (+ supervision)."""
+def _device_maps_ok(rets, cfg):
+    if getattr(cfg, 'host_coordinate_maps', False):
+        return False
+    from box2mask_tpu.sparse.device_maps import AXIS_MAX
+    return all(r['vox_coords'].max() < AXIS_MAX and r['vox_coords'].min() >= 0
+               for r in rets)
+
+
+def build_batch(rets, cfg, sem_id2idx, mode='train', pyramids=None,
+                device_maps=None):
+    """rets: list of per-scene dicts from voxelize_scene (+ supervision).
+
+    Two layouts (DESIGN.md):
+      * host maps (device_maps=False): scenes concatenated, padding at the tail,
+        full neighbor maps built on host (sparse/coords.py),
+      * device maps (default): batch carries only per-scene padded coords
+        ('coords0_b') + interleaved-per-scene voxel arrays; the pyramid/maps are
+        built on-device inside the jitted step (sparse/device_maps.py).
+    """
+    if device_maps is None:
+        device_maps = pyramids is None and _device_maps_ok(rets, cfg)
+    if device_maps:
+        return _build_batch_small(rets, cfg, sem_id2idx, mode)
     if pyramids is None:
         pyramids = [C.build_scene_pyramid(r['vox_coords']) for r in rets]
     dev = C.batch_pyramids(pyramids, vox_bucket=cfg.vox_bucket)
@@ -106,6 +127,108 @@ def build_batch(rets, cfg, sem_id2idx, mode='train', pyramids=None):
         dev['gt_per_vox_semantics'] = _pad_to(pv.astype(np.int32), V0p, fill=0)
         dev['gt_per_vox_semantics_idx'] = _pad_to(
             map_semantics_to_idx(pv, sem_id2idx), V0p, fill=tables.IGNORE)
+    host['instance_ids'] = [r.get('instance_ids') for r in rets]
+    return dev, host
+
+
+def _build_batch_small(rets, cfg, sem_id2idx, mode):
+    """Device-maps batch: per-scene padded coords + interleaved voxel arrays.
+
+    Voxel-axis arrays use the `B*Vs` interleaved layout (scene i rows at
+    [i*Vs, i*Vs+n_i)); per-level pads travel as zero-byte-ish `levelpad{l}`
+    placeholder arrays whose static shapes parameterize the on-device builder.
+    """
+    from box2mask_tpu.sparse.device_maps import (level_pads_for_scenes,
+                                                 NUM_LEVELS)
+    B = len(rets)
+    pads = level_pads_for_scenes([r['vox_coords'] for r in rets],
+                                 vox_bucket=cfg.vox_bucket)
+    Vs = pads[0]
+    ns = [len(r['vox_coords']) for r in rets]
+    dev = {}
+    coords_b = np.full((B, Vs, 3), -1, np.int32)
+    for i, r in enumerate(rets):
+        coords_b[i, :ns[i]] = r['vox_coords']
+    dev['coords0_b'] = coords_b
+    for l in range(NUM_LEVELS):
+        dev[f'levelpad{l}'] = np.zeros(pads[l], np.bool_)
+
+    def interleave(key, ncols=None, fill=0, dtype=None):
+        a0 = np.asarray(rets[0][key])
+        shape = (B, Vs) + a0.shape[1:]
+        out = np.full(shape, fill, dtype or a0.dtype)
+        for i, r in enumerate(rets):
+            out[i, :ns[i]] = r[key]
+        return out.reshape((B * Vs,) + a0.shape[1:])
+
+    dev['vox_features'] = interleave('vox_features', dtype=np.float32)
+    valid0 = np.zeros((B, Vs), bool)
+    batch0 = np.full((B, Vs), -1, np.int32)
+    for i, n in enumerate(ns):
+        valid0[i, :n] = True
+        batch0[i, :n] = i
+    dev['valid0'] = valid0.reshape(-1)
+    dev['batch0'] = batch0.reshape(-1)
+    dev['num0'] = np.int32(sum(ns))
+
+    if cfg.do_segment_pooling:
+        seg_sizes = [len(r['input_location']) for r in rets]
+        S_total = sum(seg_sizes)
+        S_pad = max(C.round_up(S_total, cfg.seg_bucket), cfg.seg_bucket)
+        seg_off = np.concatenate([[0], np.cumsum(seg_sizes)])
+        pooling = np.full((B, Vs), S_pad, np.int32)
+        for i, r in enumerate(rets):
+            pooling[i, :ns[i]] = r['seg2vox'] + seg_off[i]
+        dev['pooling_ids'] = pooling.reshape(-1)
+        dev['seg_valid'] = np.arange(S_pad) < S_total
+        dev['num_segments'] = np.int32(S_total)
+        dev['batch_ids'] = _pad_to(
+            np.concatenate([np.full(seg_sizes[i], i, np.int32)
+                            for i in range(B)]), S_pad, fill=-1)
+        S_axis = S_pad
+        loc = np.concatenate([r['input_location'] for r in rets], axis=0)
+        dev['input_location'] = _pad_to(loc.astype(np.float32), S_axis)
+        seg_layout = lambda key, fill: _pad_to(  # noqa: E731
+            np.concatenate([np.asarray(r[key]) for r in rets], axis=0),
+            S_axis, fill=fill)
+    else:
+        dev['pooling_ids'] = np.arange(B * Vs, dtype=np.int32)
+        dev['seg_valid'] = dev['valid0']
+        dev['num_segments'] = dev['num0']
+        dev['batch_ids'] = dev['batch0']
+        dev['input_location'] = interleave('input_location', dtype=np.float32)
+        seg_layout = lambda key, fill: interleave(key, fill=fill)  # noqa: E731
+
+    host = {
+        'scene': [r['scene'] for r in rets],
+        'labels': [r.get('labels') for r in rets],
+        'vox2point': [r['vox2point'] for r in rets],
+        'point2vox': [r['point2vox'] for r in rets],
+        'seg2vox': [r.get('seg2vox') for r in rets],
+        'seg2point': [r.get('seg2point') for r in rets],
+        'vox_segments': [r['vox_segments'] for r in rets],
+        'input_location': [r['input_location'] for r in rets],
+        'vox_world_coords': [r['vox_world_coords'] for r in rets],
+        'num_voxels': ns,
+        'interleaved_vs': Vs,
+    }
+    if mode == 'test' or 'gt_bb_offsets' not in rets[0]:
+        return dev, host
+
+    dev['gt_bb_offsets'] = seg_layout('gt_bb_offsets', 0.0).astype(np.float32)
+    dev['gt_bb_bounds'] = seg_layout('gt_bb_bounds', 0.0).astype(np.float32)
+    dev['fg_instances'] = seg_layout('fg_instances', False).astype(bool)
+    gt_sem = seg_layout('gt_semantics', 0).astype(np.int32)
+    dev['gt_semantics'] = gt_sem
+    dev['gt_semantics_idx'] = np.where(
+        dev['seg_valid'] if cfg.do_segment_pooling else dev['valid0'],
+        map_semantics_to_idx(gt_sem, sem_id2idx), tables.IGNORE).astype(np.int32)
+    if 'gt_per_vox_semantics' in rets[0]:
+        pv = interleave('gt_per_vox_semantics', dtype=np.int64)
+        dev['gt_per_vox_semantics'] = pv.astype(np.int32)
+        dev['gt_per_vox_semantics_idx'] = np.where(
+            dev['valid0'], map_semantics_to_idx(pv, sem_id2idx),
+            tables.IGNORE).astype(np.int32)
     host['instance_ids'] = [r.get('instance_ids') for r in rets]
     return dev, host
 

@@ -198,9 +198,12 @@ class BatchLoader:
         if self.num_shards == 1:
             return build_batch(rets, self.cfg, self.dataset.sem_id2idx,
                                mode=self.dataset.mode)
+        # multi-device shards are stacked later -> need the host-maps layout
+        # (collate_device_batches sentinel rewrite); device-maps collation TBD
         shards = [
             build_batch(rets[i * per_shard:(i + 1) * per_shard], self.cfg,
-                        self.dataset.sem_id2idx, mode=self.dataset.mode)
+                        self.dataset.sem_id2idx, mode=self.dataset.mode,
+                        device_maps=False)
             for i in range(self.num_shards)]
         return shards
 

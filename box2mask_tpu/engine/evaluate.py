@@ -272,10 +272,9 @@ class Evaluater:
             for si, (scene, labels) in enumerate(zip(host['scene'],
                                                      host['labels'])):
                 name = scene['name']
-                V = int(dev['num0'])
-                vox_batch = np.asarray(dev['batch0'])[:V] == si
+                vox_batch = np.asarray(dev['batch0']) == si
                 vox_sem = np.argmax(
-                    np.asarray(pred[self.cfg.mlp_per_vox_semantics])[:V], 1)
+                    np.asarray(pred[self.cfg.mlp_per_vox_semantics]), 1)
                 vox_sem = vox_sem[vox_batch]
                 vox2point = host['vox2point'][si]
                 pred_sem = vox_sem[vox2point]

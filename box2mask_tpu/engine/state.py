@@ -27,6 +27,26 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def ensure_maps(batch):
+    """If the batch is a device-maps batch (carries 'coords0_b' instead of
+    neighbor maps), build the full coordinate pyramid on-device
+    (sparse/device_maps.py). Works inside jit — pad sizes come from the static
+    shapes of the levelpad placeholders. Host-provided keys win on collision."""
+    if 'coords0_b' not in batch:
+        return batch
+    from box2mask_tpu.sparse import device_maps as DM
+    pads = tuple(batch[f'levelpad{l}'].shape[0] for l in range(DM.NUM_LEVELS))
+    maps = DM.build_batch_maps(batch['coords0_b'], pads)
+    merged = dict(maps)
+    merged.update(batch)          # host valid0/batch0/num0 take precedence
+    return merged
+
+
+def materialize_maps(batch):
+    """Eager (host-callable) ensure_maps for init paths."""
+    return ensure_maps(batch)
+
+
 def make_optimizer(cfg):
     """Adam/Adadelta/RMSprop selected by cfg.optimizer (training.py:37-42); LR is
     injected per-step (inject_hyperparams) to implement the cosine schedule."""
@@ -58,6 +78,7 @@ def build_model(cfg, num_classes, axis_name=None):
 
 
 def init_state(cfg, model, tx, sample_batch, seed=0):
+    sample_batch = materialize_maps(sample_batch)
     variables = model.init(jax.random.PRNGKey(seed), sample_batch, train=False)
     params = variables['params']
     return TrainState(params=params, batch_stats=variables['batch_stats'],
@@ -66,6 +87,7 @@ def init_state(cfg, model, tx, sample_batch, seed=0):
 
 def make_train_step(cfg, model, tx, axis_name=None, donate=True):
     def loss_fn(params, batch_stats, batch, bb_w, cs_w):
+        batch = ensure_maps(batch)
         out, mut = model.apply({'params': params, 'batch_stats': batch_stats},
                                batch, train=True, mutable=['batch_stats'])
         ld = L.compute_losses(cfg, out, batch, bb_w, cs_w)
@@ -91,6 +113,7 @@ def make_train_step(cfg, model, tx, axis_name=None, donate=True):
 
 def make_val_step(cfg, model):
     def step(state, batch, bb_w, cs_w):
+        batch = ensure_maps(batch)
         out = model.apply({'params': state.params,
                            'batch_stats': state.batch_stats}, batch, train=False)
         return L.compute_losses(cfg, out, batch, bb_w, cs_w)
@@ -101,6 +124,7 @@ def make_forward(cfg, model):
     """Eval forward returning raw head outputs (get_prediction equivalent,
     detection_net.py:493-517; min_bb clamp happens on host in detection2mask)."""
     def fwd(params, batch_stats, batch):
+        batch = ensure_maps(batch)
         return model.apply({'params': params, 'batch_stats': batch_stats},
                            batch, train=False)
     return jax.jit(fwd)

@@ -45,14 +45,15 @@ def detection_to_masks(pred, dev, host, cfg, valid_class_ids, is_foreground,
 
     per_vox = cfg.mlp_per_vox_semantics in cfg.network_heads
     if per_vox:
-        V = int(dev['num0'])
-        vox_sem_all = np.argmax(np.asarray(pred[cfg.mlp_per_vox_semantics])[:V], 1)
+        # full array + batch0 masks (supports both tail-padded and interleaved
+        # voxel layouts, see datasets/batching.py)
+        vox_sem_all = np.argmax(np.asarray(pred[cfg.mlp_per_vox_semantics]), 1)
     else:
         sem_idx = np.argmax(np.asarray(pred[cfg.mlp_semantics])[:S], 1)
         sem_ids = np.asarray(valid_class_ids)[sem_idx]
 
     batch_ids = np.asarray(dev['batch_ids'])[:S]
-    vox_batch = np.asarray(dev['batch0'])[:int(dev['num0'])]
+    vox_batch = np.asarray(dev['batch0'])
     results = {}
     for scene_idx, scene in enumerate(host['scene']):
         smask = batch_ids == scene_idx
@@ -94,7 +95,7 @@ def detection_to_masks(pred, dev, host, cfg, valid_class_ids, is_foreground,
 
         masks = vox_heatmaps > mask_bin_th
         if not per_vox:
-            kept, _ = nms.mask_nms_np(masks, mask_nms_th, allow_empty=True)
+            kept, _ = nms.mask_nms_matrix(masks, mask_nms_th)
         else:
             kept = np.arange(len(masks))
         masks, rep_scores = masks[kept], rep_scores[kept]

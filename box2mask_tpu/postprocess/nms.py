@@ -101,6 +101,30 @@ def mask_nms_np(sorted_masks, cluster_th=0.5, allow_empty=False):
     return np.array(kept, np.int64), suppressed
 
 
+def mask_nms_matrix(sorted_masks, cluster_th=0.5):
+    """Exact mask_nms_np semantics, but all pairwise IoUs are computed once via
+    one f32 matmul (R^2*V flops) and the greedy loop runs on the R x R matrix —
+    removes the O(R^2*V) python re-scan that dominated post-processing."""
+    R = len(sorted_masks)
+    if R == 0:
+        return np.zeros(0, np.int64), []
+    M = np.asarray(sorted_masks, np.float32)
+    inter = M @ M.T
+    areas = np.diag(inter).copy()
+    union = areas[:, None] + areas[None, :] - inter
+    iou = np.divide(inter, union, out=np.zeros_like(inter), where=union > 0)
+    np.fill_diagonal(iou, 1.0)
+    remaining = np.ones(R, bool)
+    kept, suppressed = [], []
+    while remaining.any():
+        top = int(np.argmax(remaining))
+        keep = iou[top] <= cluster_th
+        kept.append(top)
+        suppressed.append((top, np.nonzero(remaining & ~keep)[0]))
+        remaining &= keep
+    return np.array(kept, np.int64), suppressed
+
+
 def mask_nms_jax(masks, valid, cluster_th=0.5):
     """masks: (R, V) bool sorted by confidence; valid: (R,). Returns keep (R,)."""
     R = masks.shape[0]

@@ -1,0 +1,188 @@
+"""On-device coordinate-pyramid + neighbor-map construction (XLA sort/search).
+
+The host-side builder (sparse/coords.py) costs seconds per ScanNet-scale scene
+and ships ~200MB of neighbor maps per scene to the chip. This module moves the
+whole pyramid onto the device: the host ships only the finest-level voxel
+coords (~1.5MB) and per-level pad sizes; one jitted function derives all 8
+levels and every conv neighbor map with sorts + vectorized binary searches —
+static shapes throughout, a few ms on TPU.
+
+Key encoding: 10 bits per axis packed into int32 (coords must be < 1024 per
+axis, i.e. scenes up to ~20m at 2cm voxels / ~40m at 4cm; datasets/batching
+falls back to host maps beyond that). Flooring to level l is a single bitwise
+AND; query bounds are checked per axis *before* packing so no wrap-around
+margin is needed. Sort order equals the host builder's lexicographic order, so
+host-side per-voxel arrays (features/labels) align row-for-row.
+
+Batch layout: scenes are vmapped at a common per-scene pad and flattened to a
+`B*pad` interleaved layout; missing neighbors point at the single global
+sentinel row `B*pad` (the conv ops' zero row), so sparse/ops.py is unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+NUM_LEVELS = 8
+AXIS_BITS = 10
+AXIS_MAX = 1 << AXIS_BITS            # 1024
+SENT_KEY = jnp.int32(1 << 30)        # > any packed key
+
+
+def pack_keys(coords):
+    c = coords.astype(jnp.int32)
+    return (c[..., 0] << (2 * AXIS_BITS)) | (c[..., 1] << AXIS_BITS) | c[..., 2]
+
+
+def unpack_keys(keys):
+    x = keys >> (2 * AXIS_BITS)
+    y = (keys >> AXIS_BITS) & (AXIS_MAX - 1)
+    z = keys & (AXIS_MAX - 1)
+    return x, y, z
+
+
+def level_floor_mask(l):
+    m = (1 << l) - 1
+    return ~jnp.int32((m << (2 * AXIS_BITS)) | (m << AXIS_BITS) | m)
+
+
+def unique_sorted(keys, out_pad):
+    """Sorted-unique compaction to a fixed size. `keys` may contain SENT_KEY
+    padding; output is ascending real keys then SENT_KEY tail. Returns
+    (out_keys (out_pad,), num)."""
+    sk = jnp.sort(keys)
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    real = sk < SENT_KEY
+    f = first & real
+    pos = jnp.cumsum(f) - 1
+    idx = jnp.where(f & (pos < out_pad), pos, out_pad)
+    out = jnp.full((out_pad + 1,), SENT_KEY, jnp.int32).at[idx].set(
+        jnp.where(f, sk, SENT_KEY), mode='drop')[:out_pad]
+    return out, jnp.sum(f).astype(jnp.int32)
+
+
+def lookup(sorted_keys, q_keys, q_valid):
+    """Row of each query in sorted_keys, or pad-size when absent/invalid."""
+    Vp = sorted_keys.shape[0]
+    i = jnp.searchsorted(sorted_keys, q_keys)
+    ic = jnp.minimum(i, Vp - 1)
+    found = (jnp.take(sorted_keys, ic) == q_keys) & q_valid
+    return jnp.where(found, ic, Vp).astype(jnp.int32)
+
+
+def neighbor_map(out_keys, in_sorted, offsets):
+    """(Vout, K) local neighbor map. `offsets` is a static (K,3) numpy array."""
+    x, y, z = unpack_keys(out_keys)
+    ox = jnp.asarray(offsets[:, 0], jnp.int32)[None, :]
+    oy = jnp.asarray(offsets[:, 1], jnp.int32)[None, :]
+    oz = jnp.asarray(offsets[:, 2], jnp.int32)[None, :]
+    qx, qy, qz = x[:, None] + ox, y[:, None] + oy, z[:, None] + oz
+    valid = ((qx >= 0) & (qx < AXIS_MAX) & (qy >= 0) & (qy < AXIS_MAX)
+             & (qz >= 0) & (qz < AXIS_MAX) & (out_keys < SENT_KEY)[:, None])
+    qk = ((jnp.clip(qx, 0, AXIS_MAX - 1) << (2 * AXIS_BITS))
+          | (jnp.clip(qy, 0, AXIS_MAX - 1) << AXIS_BITS)
+          | jnp.clip(qz, 0, AXIS_MAX - 1))
+    V, K = qk.shape
+    return lookup(in_sorted, qk.reshape(-1), valid.reshape(-1)).reshape(V, K)
+
+
+def _offsets(size, step):
+    from box2mask_tpu.sparse.coords import kernel_offsets
+    return kernel_offsets(size, step)
+
+
+def build_scene_maps(keys0_raw, level_pads, stem_kernel=5):
+    """All per-scene maps from raw (possibly SENT-padded) finest-level keys.
+    `level_pads` is a static tuple of 8 ints. Local index convention: missing ==
+    level_pads[in_level]."""
+    out = {}
+    keys = []
+    k0, n0 = unique_sorted(keys0_raw, level_pads[0])
+    keys.append(k0)
+    out['num0'] = n0
+    for l in range(1, NUM_LEVELS):
+        floored = jnp.where(keys[l - 1] < SENT_KEY,
+                            keys[l - 1] & level_floor_mask(l), SENT_KEY)
+        kl, nl = unique_sorted(floored, level_pads[l])
+        keys.append(kl)
+        out[f'num{l}'] = nl
+    for l in range(NUM_LEVELS):
+        out[f'valid{l}'] = keys[l] < SENT_KEY
+        x, y, z = unpack_keys(jnp.where(keys[l] < SENT_KEY, keys[l], 0))
+        out[f'coords{l}'] = jnp.stack([x, y, z], axis=1)
+        out[f'nmap3_{l}'] = neighbor_map(keys[l], keys[l], _offsets(3, 1 << l))
+    out['nmap5_0'] = neighbor_map(keys[0], keys[0], _offsets(stem_kernel, 1))
+    for l in range(NUM_LEVELS - 1):
+        out[f'down{l}'] = neighbor_map(keys[l + 1], keys[l], _offsets(2, 1 << l))
+        parent = jnp.where(keys[l] < SENT_KEY,
+                           keys[l] & level_floor_mask(l + 1), SENT_KEY)
+        out[f'up_parent{l}'] = lookup(keys[l + 1], parent, keys[l] < SENT_KEY)
+        x, y, z = unpack_keys(keys[l])
+        out[f'up_widx{l}'] = (((x >> l) & 1) * 4 + ((y >> l) & 1) * 2
+                              + ((z >> l) & 1)).astype(jnp.int32)
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def build_batch_maps(coords0_b, level_pads, stem_kernel=5):
+    """coords0_b: (B, Vs, 3) int32, padded rows marked by coords[...,0] < 0.
+    Returns the flattened global map dict (interleaved per-scene padding) with
+    the SparseBatch key convention of sparse/coords.batch_pyramids."""
+    B = coords0_b.shape[0]
+    valid_in = coords0_b[..., 0] >= 0
+    keys_raw = jnp.where(valid_in, pack_keys(jnp.maximum(coords0_b, 0)),
+                         SENT_KEY)
+    per_scene = jax.vmap(
+        lambda k: build_scene_maps(k, level_pads, stem_kernel))(keys_raw)
+
+    out = {}
+    for l in range(NUM_LEVELS):
+        pad = level_pads[l]
+        out[f'valid{l}'] = per_scene[f'valid{l}'].reshape(-1)
+        out[f'coords{l}'] = per_scene[f'coords{l}'].reshape(-1, 3)
+        out[f'num{l}'] = jnp.sum(per_scene[f'num{l}']).astype(jnp.int32)
+        s_ids = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                                 (B, pad))
+        out[f'batch{l}'] = jnp.where(per_scene[f'valid{l}'], s_ids,
+                                     -1).reshape(-1)
+
+    def globalize(local, in_level):
+        pad = level_pads[in_level]
+        s = jnp.arange(B, dtype=jnp.int32).reshape(
+            (B,) + (1,) * (local.ndim - 1))
+        return jnp.where(local >= pad, B * pad, local + s * pad).reshape(
+            (-1,) + local.shape[2:])
+
+    for l in range(NUM_LEVELS):
+        out[f'nmap3_{l}'] = globalize(per_scene[f'nmap3_{l}'], l)
+    out['nmap5_0'] = globalize(per_scene['nmap5_0'], 0)
+    for l in range(NUM_LEVELS - 1):
+        out[f'down{l}'] = globalize(per_scene[f'down{l}'], l)
+        out[f'up_parent{l}'] = globalize(per_scene[f'up_parent{l}'], l + 1)
+        out[f'up_widx{l}'] = per_scene[f'up_widx{l}'].reshape(-1)
+    return out
+
+
+def level_pads_for_scenes(vox_coords_list, vox_bucket=4096,
+                          min_pad=512):
+    """Host helper: per-level per-scene pad sizes (max over scenes, bucketed).
+    Uses the cheap host packing to count unique keys per level (~ms)."""
+    from box2mask_tpu.sparse.coords import pack, round_up
+    counts = np.zeros(NUM_LEVELS, np.int64)
+    for c in vox_coords_list:
+        keys = np.unique(pack(c))
+        counts[0] = max(counts[0], len(keys))
+        prev = np.asarray(c, np.int64)
+        for l in range(1, NUM_LEVELS):
+            prev = prev & ~np.int64((1 << l) - 1)
+            prev = np.unique(prev, axis=0)
+            counts[l] = max(counts[l], len(prev))
+    pads = []
+    for l in range(NUM_LEVELS):
+        bucket = max(min_pad, vox_bucket >> l)
+        pads.append(max(round_up(counts[l], bucket), bucket))
+    return tuple(int(p) for p in pads)

@@ -1,0 +1,115 @@
+"""On-device coordinate-map builder vs the host oracle (sparse/coords.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from box2mask_tpu.sparse import coords as C
+from box2mask_tpu.sparse import device_maps as DM
+from box2mask_tpu.postprocess import nms
+
+
+def random_coords(n, hi=200, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.unique(rng.integers(0, hi, size=(n, 3)), axis=0).astype(np.int32)
+
+
+def normalize(m, sent):
+    return np.where(np.asarray(m) == sent, -1, np.asarray(m))
+
+
+def test_single_scene_maps_match_host():
+    c = random_coords(600, seed=0)
+    host = C.build_scene_pyramid(c)
+    pads = DM.level_pads_for_scenes([c], vox_bucket=256, min_pad=64)
+    coords_b = np.full((1, pads[0], 3), -1, np.int32)
+    coords_b[0, :len(c)] = c
+    dev = DM.build_batch_maps(jnp.asarray(coords_b), pads)
+    for l in range(8):
+        n = int(host[f'num{l}'])
+        assert int(dev[f'num{l}']) == n
+        np.testing.assert_array_equal(np.asarray(dev[f'coords{l}'])[:n],
+                                      host[f'coords{l}'])
+        got = normalize(np.asarray(dev[f'nmap3_{l}'])[:n], pads[l])
+        np.testing.assert_array_equal(got, host[f'nmap3_{l}'])
+    got5 = normalize(np.asarray(dev['nmap5_0'])[:int(host['num0'])], pads[0])
+    np.testing.assert_array_equal(got5, host['nmap5_0'])
+    for l in range(7):
+        n1 = int(host[f'num{l + 1}'])
+        got = normalize(np.asarray(dev[f'down{l}'])[:n1], pads[l])
+        np.testing.assert_array_equal(got, host[f'down{l}'])
+        n = int(host[f'num{l}'])
+        np.testing.assert_array_equal(
+            normalize(np.asarray(dev[f'up_parent{l}'])[:n], pads[l + 1]),
+            host[f'up_parent{l}'])
+        np.testing.assert_array_equal(np.asarray(dev[f'up_widx{l}'])[:n],
+                                      host[f'up_widx{l}'])
+
+
+def test_batched_maps_globalization():
+    c1, c2 = random_coords(300, seed=1), random_coords(400, seed=2)
+    pads = DM.level_pads_for_scenes([c1, c2], vox_bucket=256, min_pad=64)
+    Vs = pads[0]
+    coords_b = np.full((2, Vs, 3), -1, np.int32)
+    coords_b[0, :len(c1)] = c1
+    coords_b[1, :len(c2)] = c2
+    dev = DM.build_batch_maps(jnp.asarray(coords_b), pads)
+    h2 = C.build_scene_pyramid(c2)
+    n2 = int(h2['num0'])
+    m = np.asarray(dev['nmap3_0'])[Vs:Vs + n2]
+    sent = 2 * Vs
+    want = np.where(h2['nmap3_0'] < 0, sent, h2['nmap3_0'] + Vs)
+    np.testing.assert_array_equal(m, want)
+    # validity masks interleaved per scene
+    v = np.asarray(dev['valid0'])
+    assert v[:len(c1)].all() and not v[len(c1):Vs].any()
+    assert v[Vs:Vs + n2].all() and not v[Vs + n2:].any()
+    assert int(dev['num0']) == len(c1) + n2
+
+
+def test_forward_equivalence_host_vs_device_maps():
+    """Full network forward must be identical under both batch layouts."""
+    import jax
+    from tests.test_model_forward import make_cfg, make_batch
+    from box2mask_tpu.datasets import synthetic, supervision
+    from box2mask_tpu.datasets.voxelize import voxelize_scene
+    from box2mask_tpu.datasets.batching import build_batch
+    from box2mask_tpu.datasets.tables import get_tables
+    from box2mask_tpu.engine import state as S
+
+    cfg = make_cfg()
+    _, sem_id2idx, _, _ = get_tables('scannet')
+    rets = []
+    for s in (3, 4):
+        scene, labels = synthetic.make_scene(seed=s, num_instances=3,
+                                             points_per_instance=150,
+                                             floor_points=600, wall_points=400)
+        ret = voxelize_scene(scene, cfg)
+        ret['labels'] = labels
+        supervision.build_supervision(ret, labels, scene, cfg, 'scannet')
+        rets.append(ret)
+    dev_host, _ = build_batch(rets, cfg, sem_id2idx, device_maps=False)
+    dev_small, _ = build_batch(rets, cfg, sem_id2idx, device_maps=True)
+    assert 'coords0_b' in dev_small and 'nmap3_0' not in dev_small
+
+    model = S.build_model(cfg, num_classes=20)
+    fwd = S.make_forward(cfg, model)
+    bh = {k: jnp.asarray(v) for k, v in dev_host.items()}
+    bs = {k: jnp.asarray(v) for k, v in dev_small.items()}
+    import jax.random
+    variables = model.init(jax.random.PRNGKey(0), bh, train=False)
+    out_h = fwd(variables['params'], variables['batch_stats'], bh)
+    out_s = fwd(variables['params'], variables['batch_stats'], bs)
+    Sv = int(dev_host['num_segments'])
+    for k in out_h:
+        np.testing.assert_allclose(np.asarray(out_h[k])[:Sv],
+                                   np.asarray(out_s[k])[:Sv],
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_mask_nms_matrix_matches_loop():
+    rng = np.random.default_rng(0)
+    masks = rng.uniform(size=(25, 300)) < 0.25
+    kept_loop, _ = nms.mask_nms_np(masks, 0.5, allow_empty=True)
+    kept_mat, _ = nms.mask_nms_matrix(masks, 0.5)
+    np.testing.assert_array_equal(kept_loop, kept_mat)
