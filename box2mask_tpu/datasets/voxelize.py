@@ -28,19 +28,31 @@ def voxelize_scene(scene, cfg, with_segments=None):
     positions = scene['positions']
     origin = min(0, np.min(positions)) if len(positions) else 0.0
     input_coords = (positions - origin) / cfg.voxel_size
-    vox = np.round(input_coords)
 
-    # unique voxels, sorted lexicographically (matches np.unique(axis=0) order)
-    vox_coords, vox2point = np.unique(vox, axis=0, return_inverse=True)
-    vox2point = vox2point.reshape(-1)
-    ret['vox_coords'] = vox_coords.astype(np.int32)
-    ret['vox2point'] = vox2point
-
-    # NN voxelization: each voxel carries its nearest point's features/labels
-    tree = cKDTree(input_coords)
-    _, point2vox = tree.query(vox_coords, k=1)
-    point2vox = np.asarray(point2vox).reshape(-1)
-    ret['point2vox'] = point2vox
+    native = None
+    if getattr(cfg, 'use_native_host_ops', True):
+        from box2mask_tpu.native import native_voxelize
+        native = native_voxelize(input_coords)
+    if native is not None:
+        vox_coords, vox2point, point2vox = native
+        ret['vox_coords'] = vox_coords
+        ret['vox2point'] = vox2point
+        ret['point2vox'] = point2vox
+    else:
+        vox = np.round(input_coords)
+        # unique voxels, sorted lexicographically (np.unique(axis=0) order)
+        vox_coords, vox2point = np.unique(vox, axis=0, return_inverse=True)
+        vox2point = vox2point.reshape(-1)
+        ret['vox_coords'] = vox_coords.astype(np.int32)
+        ret['vox2point'] = vox2point
+        # NN voxelization: each voxel carries its nearest point's features
+        tree = cKDTree(input_coords)
+        _, point2vox = tree.query(vox_coords.astype(np.float64), k=1)
+        point2vox = np.asarray(point2vox).reshape(-1)
+        ret['point2vox'] = point2vox
+    vox_coords = ret['vox_coords']
+    vox2point = ret['vox2point']
+    point2vox = ret['point2vox']
 
     feats = [scene['colors']]
     if cfg.use_normals_input:

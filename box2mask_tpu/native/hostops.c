@@ -1,0 +1,142 @@
+/* Native host-side kernels for the data pipeline.
+ *
+ * The reference outsources these to sklearn/scipy (ball-tree 1-NN
+ * voxelization, models/dataloader.py:75-77) and numpy (unique). Implemented
+ * here in C for the hot per-scene path:
+ *
+ *   voxelize(): round scaled points to voxel coords, sort/unique packed keys,
+ *     inverse map, and EXACT nearest-point-per-voxel via 3^3 neighborhood
+ *     search (the nearest point to a voxel center lies within half the voxel
+ *     diagonal (<=0.866 vox), and any point outside the 3^3 neighborhood is
+ *     >= 1.5 vox away, so scanning the 27 neighboring voxels' points is
+ *     exact).
+ *
+ * Exposed via ctypes (box2mask_tpu/native/__init__.py); NumPy fallback when
+ * the shared library is not built.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <math.h>
+
+typedef struct {
+    int64_t key;
+    int32_t idx;
+} KeyIdx;
+
+static int cmp_keyidx(const void* a, const void* b) {
+    const KeyIdx* ka = (const KeyIdx*)a;
+    const KeyIdx* kb = (const KeyIdx*)b;
+    if (ka->key < kb->key) return -1;
+    if (ka->key > kb->key) return 1;
+    /* stable on idx for deterministic inverse mapping */
+    return (ka->idx < kb->idx) ? -1 : (ka->idx > kb->idx);
+}
+
+#define SHIFT 21
+#define OFF 256
+
+static inline int64_t pack3(int32_t x, int32_t y, int32_t z) {
+    return (((int64_t)(x + OFF)) << (2 * SHIFT))
+         | (((int64_t)(y + OFF)) << SHIFT)
+         | ((int64_t)(z + OFF));
+}
+
+/* binary search over sorted unique keys */
+static inline int32_t lookup_key(const int64_t* keys, int32_t n, int64_t q) {
+    int32_t lo = 0, hi = n - 1;
+    while (lo <= hi) {
+        int32_t mid = lo + (hi - lo) / 2;
+        if (keys[mid] < q) lo = mid + 1;
+        else if (keys[mid] > q) hi = mid - 1;
+        else return mid;
+    }
+    return -1;
+}
+
+/* Full voxelization.
+ * in:  scaled_pts (P*3 float), P
+ * out: vox_coords (cap V*3 int32), vox2point (P int32; point -> voxel row),
+ *      point2vox (cap V int32; voxel row -> nearest point index)
+ * returns V (number of unique voxels), or -1 on alloc failure.
+ */
+int32_t b2m_voxelize(const float* scaled_pts, int32_t P,
+                     int32_t* vox_coords, int32_t* vox2point,
+                     int32_t* point2vox) {
+    KeyIdx* ki = (KeyIdx*)malloc(sizeof(KeyIdx) * (size_t)P);
+    int32_t* pcoord = (int32_t*)malloc(sizeof(int32_t) * (size_t)P * 3);
+    if (!ki || !pcoord) { free(ki); free(pcoord); return -1; }
+
+    for (int32_t i = 0; i < P; i++) {
+        /* round-half-to-even like np.round */
+        float fx = scaled_pts[3 * i], fy = scaled_pts[3 * i + 1],
+              fz = scaled_pts[3 * i + 2];
+        int32_t x = (int32_t)llrintf(fx);
+        int32_t y = (int32_t)llrintf(fy);
+        int32_t z = (int32_t)llrintf(fz);
+        pcoord[3 * i] = x; pcoord[3 * i + 1] = y; pcoord[3 * i + 2] = z;
+        ki[i].key = pack3(x, y, z);
+        ki[i].idx = i;
+    }
+    qsort(ki, (size_t)P, sizeof(KeyIdx), cmp_keyidx);
+
+    /* unique + inverse */
+    int64_t* ukeys = (int64_t*)malloc(sizeof(int64_t) * (size_t)P);
+    if (!ukeys) { free(ki); free(pcoord); return -1; }
+    int32_t V = 0;
+    for (int32_t i = 0; i < P; i++) {
+        if (i == 0 || ki[i].key != ki[i - 1].key) {
+            ukeys[V] = ki[i].key;
+            const int32_t p = ki[i].idx;
+            vox_coords[3 * V] = pcoord[3 * p];
+            vox_coords[3 * V + 1] = pcoord[3 * p + 1];
+            vox_coords[3 * V + 2] = pcoord[3 * p + 2];
+            V++;
+        }
+        vox2point[ki[i].idx] = V - 1;
+    }
+
+    /* CSR of points per voxel (in sorted order ki is already grouped) */
+    int32_t* starts = (int32_t*)malloc(sizeof(int32_t) * ((size_t)V + 1));
+    if (!starts) { free(ki); free(pcoord); free(ukeys); return -1; }
+    {
+        int32_t v = -1;
+        for (int32_t i = 0; i < P; i++) {
+            if (i == 0 || ki[i].key != ki[i - 1].key) starts[++v] = i;
+        }
+        starts[V] = P;
+    }
+
+    /* exact nearest point per voxel over the 3^3 neighborhood */
+    for (int32_t v = 0; v < V; v++) {
+        const float cx = (float)vox_coords[3 * v];
+        const float cy = (float)vox_coords[3 * v + 1];
+        const float cz = (float)vox_coords[3 * v + 2];
+        float best = 1e30f;
+        int32_t best_i = ki[starts[v]].idx;
+        for (int dx = -1; dx <= 1; dx++)
+        for (int dy = -1; dy <= 1; dy++)
+        for (int dz = -1; dz <= 1; dz++) {
+            int64_t q = pack3(vox_coords[3 * v] + dx, vox_coords[3 * v + 1] + dy,
+                              vox_coords[3 * v + 2] + dz);
+            int32_t nv = lookup_key(ukeys, V, q);
+            if (nv < 0) continue;
+            for (int32_t s = starts[nv]; s < starts[nv + 1]; s++) {
+                const int32_t p = ki[s].idx;
+                const float ddx = scaled_pts[3 * p] - cx;
+                const float ddy = scaled_pts[3 * p + 1] - cy;
+                const float ddz = scaled_pts[3 * p + 2] - cz;
+                const float d = ddx * ddx + ddy * ddy + ddz * ddz;
+                if (d < best || (d == best && p < best_i)) {
+                    best = d;
+                    best_i = p;
+                }
+            }
+        }
+        point2vox[v] = best_i;
+    }
+
+    free(ki); free(pcoord); free(ukeys); free(starts);
+    return V;
+}

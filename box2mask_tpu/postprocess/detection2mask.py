@@ -102,10 +102,15 @@ def detection_to_masks(pred, dev, host, cfg, valid_class_ids, is_foreground,
         rep_bbs, reps = rep_bbs[kept], reps[kept]
         vox_heatmaps = vox_heatmaps[kept]
 
+        # per-mask majority semantic via one bincount over (mask, class) pairs
         labels = np.zeros(len(masks), np.int32)
-        for i, m in enumerate(masks):
-            if m.sum():
-                labels[i] = np.bincount(scene_sem_for_masks[m]).argmax()
+        if len(masks):
+            R = len(masks)
+            C = int(scene_sem_for_masks.max()) + 1
+            mi, vi = np.nonzero(masks)
+            counts = np.bincount(mi * C + scene_sem_for_masks[vi],
+                                 minlength=R * C).reshape(R, C)
+            labels = counts.argmax(axis=1).astype(np.int32)
 
         if mode == 'eval':
             vox2point = host['vox2point'][scene_idx]
