@@ -185,6 +185,9 @@ def config_parser():
     add('--prefetch_batches', type=int, default=2)
     add('--use_native_host_ops', default=True, action='store_true',
         help='Use the C host library for voxelization/neighbor maps when built.')
+    add('--pallas_conv', type=str, default='auto',
+        choices=['auto', 'on', 'off'],
+        help='Fused pallas gather-GEMM sparse conv: auto = on TPU only.')
     add('--host_coordinate_maps', default=False, action='store_true',
         help='Force host-side neighbor-map building (default: build the full '
              'coordinate pyramid on-device from coords only, sparse/device_maps).')

@@ -66,6 +66,11 @@ def build_model(cfg, num_classes, axis_name=None):
     import jax.numpy as jnp
     compute_dtype = {'bfloat16': jnp.bfloat16, 'float32': jnp.float32}[
         cfg.compute_dtype]
+    use_pallas = getattr(cfg, 'pallas_conv', 'auto')
+    if use_pallas == 'auto':
+        use_pallas = jax.default_backend() == 'tpu'
+    else:
+        use_pallas = use_pallas == 'on'
     return SelectionNet(
         num_classes=num_classes,
         heads=tuple(cfg.network_heads),
@@ -74,7 +79,8 @@ def build_model(cfg, num_classes, axis_name=None):
         max_pool_segments=cfg.max_pool_segments_detection_net,
         mlp_bounds_relu=cfg.mlp_bounds_relu,
         axis_name=axis_name,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype,
+        use_pallas=bool(use_pallas))
 
 
 def init_state(cfg, model, tx, sample_batch, seed=0):

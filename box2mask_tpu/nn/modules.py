@@ -34,12 +34,14 @@ class SparseConv(nn.Module):
     kernel_volume: int          # 27 for 3^3, 8 for 2^3 down, 125 for 5^3 stem
     use_bias: bool = False      # ME convs default to bias=False
     compute_dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, nbr):
         w = self.param('kernel', kaiming_fan_out,
                        (self.kernel_volume, x.shape[-1], self.features))
-        out = ops.gather_conv(x, nbr, w, compute_dtype=self.compute_dtype)
+        out = ops.gather_conv(x, nbr, w, compute_dtype=self.compute_dtype,
+                              use_pallas=self.use_pallas)
         if self.use_bias:
             out = out + self.param('bias', nn.initializers.zeros, (self.features,))
         return out
@@ -49,11 +51,14 @@ class SparseConvTranspose(nn.Module):
     """Stride-2 transpose conv (level l+1 -> l) via up_conv."""
     features: int
     compute_dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x_coarse, parent, widx):
         w = self.param('kernel', kaiming_fan_out, (8, x_coarse.shape[-1], self.features))
-        return ops.up_conv(x_coarse, parent, widx, w, compute_dtype=self.compute_dtype)
+        return ops.up_conv(x_coarse, parent, widx, w,
+                           compute_dtype=self.compute_dtype,
+                           use_pallas=self.use_pallas)
 
 
 class Linear1x1(nn.Module):
@@ -110,16 +115,19 @@ class BasicBlock(nn.Module):
     features: int
     axis_name: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, nbr, valid, n_valid, train: bool):
         residual = x
         out = SparseConv(self.features, nbr.shape[-1],
-                         compute_dtype=self.compute_dtype)(x, nbr)
+                         compute_dtype=self.compute_dtype,
+                         use_pallas=self.use_pallas)(x, nbr)
         out = MaskedBatchNorm(axis_name=self.axis_name)(out, valid, n_valid, train)
         out = nn.relu(out)
         out = SparseConv(self.features, nbr.shape[-1],
-                         compute_dtype=self.compute_dtype)(out, nbr)
+                         compute_dtype=self.compute_dtype,
+                         use_pallas=self.use_pallas)(out, nbr)
         out = MaskedBatchNorm(axis_name=self.axis_name)(out, valid, n_valid, train)
         if residual.shape[-1] != self.features:
             residual = Linear1x1(self.features, use_bias=False,

@@ -63,11 +63,13 @@ class SelectionNet(nn.Module):
     stem_kernel: int = 5
     axis_name: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
         cd = self.compute_dtype
         ax = self.axis_name
+        up = self.use_pallas
 
         def bn(name):
             return MaskedBatchNorm(axis_name=ax, name=name)
@@ -77,11 +79,13 @@ class SelectionNet(nn.Module):
             v, n = batch[f'valid{level}'], batch[f'num{level}']
             for i in range(self.layers):
                 x = BasicBlock(planes, axis_name=ax, compute_dtype=cd,
+                               use_pallas=up,
                                name=f'{stage}_block{i}')(x, nbr, v, n, train)
             return x
 
         # ---- stem (stride 1)
         x = SparseConv(INIT_DIM, self.stem_kernel ** 3, compute_dtype=cd,
+                       use_pallas=up,
                        name='stem_conv')(batch['vox_features'], batch['nmap5_0'])
         x = bn('stem_bn')(x, batch['valid0'], batch['num0'], train)
         x = nn.relu(x)
@@ -90,7 +94,7 @@ class SelectionNet(nn.Module):
         # ---- encoder: levels 1..7
         skips = [stem_out]
         for l in range(1, 8):
-            x = SparseConv(x.shape[-1], 8, compute_dtype=cd,
+            x = SparseConv(x.shape[-1], 8, compute_dtype=cd, use_pallas=up,
                            name=f'down{l}_conv')(x, batch[f'down{l - 1}'])
             x = bn(f'down{l}_bn')(x, batch[f'valid{l}'], batch[f'num{l}'], train)
             x = nn.relu(x)
@@ -100,6 +104,7 @@ class SelectionNet(nn.Module):
         # ---- decoder: levels 6..0 (skip connections from encoder levels 6..0)
         for i, l in enumerate(range(6, -1, -1)):
             x = SparseConvTranspose(DEC_PLANES[i], compute_dtype=cd,
+                                    use_pallas=up,
                                     name=f'up{l}_tr')(
                 x, batch[f'up_parent{l}'], batch[f'up_widx{l}'])
             x = bn(f'up{l}_bn')(x, batch[f'valid{l}'], batch[f'num{l}'], train)

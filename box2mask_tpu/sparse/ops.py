@@ -26,15 +26,23 @@ def _zpad(x):
     return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
 
 
-def gather_conv(x, nbr, w, compute_dtype=jnp.bfloat16, unroll_threshold=9):
+def gather_conv(x, nbr, w, compute_dtype=jnp.bfloat16, unroll_threshold=9,
+                use_pallas=False):
     """Sparse convolution: out[v] = sum_k x[nbr[v, k]] @ w[k].
 
     x:   (Vin_pad, Cin)
     nbr: (Vout_pad, K) int32, Vin_pad == missing
     w:   (K, Cin, Cout)
     returns (Vout_pad, Cout) float32
+
+    With use_pallas=True (and tile-aligned shapes) dispatches to the fused
+    window-gather MXU kernel (sparse/pallas_conv.py).
     """
     K = w.shape[0]
+    if use_pallas:
+        from box2mask_tpu.sparse import pallas_conv as PC
+        if nbr.shape[0] % PC.TILE == 0:
+            return PC.sparse_conv(x, nbr, w)
     xz = _zpad(x.astype(compute_dtype))
     wc = w.astype(compute_dtype)
     if K <= unroll_threshold:
@@ -55,7 +63,8 @@ def gather_conv(x, nbr, w, compute_dtype=jnp.bfloat16, unroll_threshold=9):
     return out
 
 
-def up_conv(x_coarse, parent, widx, w, compute_dtype=jnp.bfloat16):
+def up_conv(x_coarse, parent, widx, w, compute_dtype=jnp.bfloat16,
+            use_pallas=False):
     """Stride-2 transpose ("generative up") convolution from level l+1 to level l.
 
     Every fine output voxel has exactly one coarse parent and one of 8 weight slots
@@ -72,8 +81,13 @@ def up_conv(x_coarse, parent, widx, w, compute_dtype=jnp.bfloat16):
                    w.astype(compute_dtype),
                    preferred_element_type=jnp.float32)
     y = y.reshape(U * 8, cout)
-    y = jnp.concatenate([y, jnp.zeros((1, cout), y.dtype)], axis=0)
     idx = jnp.where(parent >= U, U * 8, parent * 8 + widx)
+    if use_pallas:
+        from box2mask_tpu.sparse import pallas_conv as PC
+        if idx.shape[0] % PC.TILE == 0:
+            # idx is monotone (children sorted within each parent block)
+            return PC.gather_rows(y, idx)
+    y = jnp.concatenate([y, jnp.zeros((1, cout), y.dtype)], axis=0)
     return jnp.take(y, idx, axis=0)
 
 

@@ -40,7 +40,9 @@ def make_batch(cfg, seeds=(0, 1), n_inst=5, ppi=300):
         ret['labels'] = labels
         supervision.build_supervision(ret, labels, scene, cfg, 'scannet')
         rets.append(ret)
-    dev, host = build_batch(rets, cfg, sem_id2idx)
+    # host-maps layout: these tests exercise the network; the device-maps
+    # path has dedicated tests (test_device_maps.py)
+    dev, host = build_batch(rets, cfg, sem_id2idx, device_maps=False)
     return {k: jnp.asarray(v) for k, v in dev.items()}, host
 
 
