@@ -75,15 +75,18 @@ def main():
     model = S.build_model(cfg, num_classes=20)
     forward = S.make_forward(cfg, model)
 
+    from concurrent.futures import ThreadPoolExecutor
     q = queue.Queue(maxsize=4)
     total = N_WARMUP + N_SCENES
     t = threading.Thread(target=scene_stream, args=(cfg, total, q), daemon=True)
     t.start()
+    post_pool = ThreadPoolExecutor(max_workers=4)
 
     variables = None
     n_done = 0
     t_start = None
     vox_counts = []
+    futures = []
     while True:
         item = q.get()
         if item is None:
@@ -98,12 +101,20 @@ def main():
             params, stats = variables['params'], variables['batch_stats']
         pred = forward(params, stats, batch)
         pred = {k: np.asarray(v) for k, v in pred.items()}
-        _ = detection_to_masks(pred, dev, host, cfg, valid_ids, is_fg,
-                               mode='eval')
+
+        def post(pred=pred, dev=dev, host=host):
+            return detection_to_masks(pred, dev, host, cfg, valid_ids, is_fg,
+                                      mode='eval')
+        futures.append(post_pool.submit(post))
         n_done += 1
         vox_counts.append(int(dev['num0']))
         if n_done == N_WARMUP:
+            for f in futures:
+                f.result()          # drain warm-up postproc
+            futures = []
             t_start = time.time()
+    for f in futures:
+        f.result()
     elapsed = time.time() - t_start
     n_timed = n_done - N_WARMUP
     scenes_per_sec = n_timed / elapsed

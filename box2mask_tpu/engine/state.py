@@ -66,11 +66,9 @@ def build_model(cfg, num_classes, axis_name=None):
     import jax.numpy as jnp
     compute_dtype = {'bfloat16': jnp.bfloat16, 'float32': jnp.float32}[
         cfg.compute_dtype]
-    use_pallas = getattr(cfg, 'pallas_conv', 'auto')
-    if use_pallas == 'auto':
-        use_pallas = jax.default_backend() == 'tpu'
-    else:
-        use_pallas = use_pallas == 'on'
+    # pallas kernel currently ~matches the XLA gather path on v5e; keep it
+    # opt-in ('on') until it wins (auto == off for now)
+    use_pallas = getattr(cfg, 'pallas_conv', 'auto') == 'on'
     return SelectionNet(
         num_classes=num_classes,
         heads=tuple(cfg.network_heads),

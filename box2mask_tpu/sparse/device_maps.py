@@ -66,9 +66,13 @@ def unique_sorted(keys, out_pad):
 
 
 def lookup(sorted_keys, q_keys, q_valid):
-    """Row of each query in sorted_keys, or pad-size when absent/invalid."""
+    """Row of each query in sorted_keys, or pad-size when absent/invalid.
+
+    method='sort' (merge by co-sorting) is ~7x faster than the default binary-
+    search scan on TPU for our query counts (measured: 3.5M queries 72ms vs
+    484ms; 16M queries 337ms vs 2.6s)."""
     Vp = sorted_keys.shape[0]
-    i = jnp.searchsorted(sorted_keys, q_keys)
+    i = jnp.searchsorted(sorted_keys, q_keys, method='sort')
     ic = jnp.minimum(i, Vp - 1)
     found = (jnp.take(sorted_keys, ic) == q_keys) & q_valid
     return jnp.where(found, ic, Vp).astype(jnp.int32)
