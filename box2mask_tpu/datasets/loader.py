@@ -171,8 +171,12 @@ class BatchLoader:
         self.num_shards = num_shards
         self.seed = seed
         self.epoch = 0
-        self._pool = ThreadPoolExecutor(max_workers=max(1, min(
-            cfg.num_workers, batch_size * num_shards)))
+        # under a fixed seed, scene building must be sequential: augmentation
+        # uses the global NumPy RNG and threads would race it (the reference
+        # gets determinism from per-worker process seeds, dataloader.py:324)
+        workers = 1 if cfg.fixed_seed else max(1, min(
+            cfg.num_workers, batch_size * num_shards))
+        self._pool = ThreadPoolExecutor(max_workers=workers)
 
     def set_epoch(self, epoch):
         self.epoch = epoch

@@ -108,9 +108,25 @@ class Trainer:
         if path is None:
             print(f'No checkpoints found at {self.cfg.checkpoint_path}')
             return
+        fresh = self.state
         (self.state, epoch, self.training_time, self.iteration_num,
          name) = ckpt.load_checkpoint(path, self.state,
                                       strict=not self.cfg.loose_model_loading)
+        if self.cfg.apple_warmstart:
+            # warm start excluding the (class-count-mismatched) final semantic
+            # layer (reference models/training.py:242-249): keep the fresh
+            # init for the semantic heads' output projection
+            params = dict(self.state.params)
+            for head in ('mlp_semantics', 'mlp_per_vox_semantics'):
+                if head in params and head in fresh.params:
+                    h = dict(params[head])
+                    last = sorted(k for k in h if k.startswith('Linear1x1'))[-1]
+                    h[last] = fresh.params[head][last]
+                    params[head] = h
+            self.state = self.state._replace(params=params)
+            self.start_epoch = 0
+            print(f'Warm-started from {name} (semantic output layer re-init)')
+            return
         self.start_epoch = epoch
         print(f'Resumed from {name} (epoch {epoch})')
 

@@ -79,7 +79,65 @@ def lookup(sorted_keys, q_keys, q_valid):
 
 
 def neighbor_map(out_keys, in_sorted, offsets):
-    """(Vout, K) local neighbor map. `offsets` is a static (K,3) numpy array."""
+    """(Vout, K) local neighbor map. `offsets` is a static (K,3) numpy array.
+
+    Fast path ("z-run" lookup): kernel_offsets orders offsets with z fastest,
+    so each (dx,dy) group queries *consecutive integer* keys. Present keys of a
+    run occupy consecutive rows of the sorted array, so one binary search for
+    the run base + a few row gathers resolve the whole group — e.g. the 5^3
+    stem map costs 25 searches instead of 125 (~3x on TPU)."""
+    offsets = np.asarray(offsets)
+    K = len(offsets)
+    s = round(K ** (1 / 3))           # cubic kernels: runs of length s
+    step = 0
+    runnable = s > 1 and s ** 3 == K
+    if runnable:
+        grp = offsets.reshape(K // s, s, 3)
+        step = int(grp[0, 1, 2] - grp[0, 0, 2])
+        runnable = (step >= 1
+                    and (grp[:, :, 0] == grp[:, :1, 0]).all()
+                    and (grp[:, :, 1] == grp[:, :1, 1]).all()
+                    and (np.diff(grp[:, :, 2], axis=1) == step).all())
+    if not runnable:
+        return _neighbor_map_direct(out_keys, in_sorted, offsets)
+
+    x, y, z = unpack_keys(out_keys)
+    V = out_keys.shape[0]
+    Vp = in_sorted.shape[0]
+    G = K // s
+    base_off = offsets[::s]                       # (G, 3) with z = run start
+    ox = jnp.asarray(base_off[:, 0], jnp.int32)[None, :]
+    oy = jnp.asarray(base_off[:, 1], jnp.int32)[None, :]
+    oz0 = jnp.asarray(base_off[:, 2], jnp.int32)[None, :]
+    qx, qy = x[:, None] + ox, y[:, None] + oy
+    xy_valid = ((qx >= 0) & (qx < AXIS_MAX) & (qy >= 0) & (qy < AXIS_MAX)
+                & (out_keys < SENT_KEY)[:, None])          # (V, G)
+    qz0 = z[:, None] + oz0
+    # arithmetic z add (no clipping): a negative run start may borrow into the
+    # y field, which only shifts the insertion point — equality tests below
+    # stay exact, and each q_d's row remains within p0..p0+j
+    qbase = ((jnp.clip(qx, 0, AXIS_MAX - 1) << (2 * AXIS_BITS))
+             | (jnp.clip(qy, 0, AXIS_MAX - 1) << AXIS_BITS)) + qz0   # (V, G)
+    p0 = jnp.searchsorted(in_sorted, qbase.reshape(-1),
+                          method='sort').reshape(V, G).astype(jnp.int32)
+    # present run keys occupy consecutive rows starting at p0
+    wins = [jnp.take(in_sorted, jnp.minimum(p0 + j, Vp - 1).reshape(-1),
+                     axis=0).reshape(V, G) for j in range(s)]
+    cols = []
+    for j in range(s):                            # dz = z0 + j*step
+        qd = qbase + j * step
+        z_valid = (qz0 + j * step >= 0) & (qz0 + j * step < AXIS_MAX) & xy_valid
+        pos = jnp.full((V, G), Vp, jnp.int32)
+        for t in range(j + 1):                    # its row is p0 + t, t <= j
+            hit = (wins[t] == qd) & z_valid & (p0 + t < Vp)
+            pos = jnp.where(hit, p0 + t, pos)
+        cols.append(pos)
+    # reassemble in the original offset order: group g, z index j -> col g*s+j
+    out = jnp.stack(cols, axis=2)                 # (V, G, s) with j last
+    return out.transpose(0, 1, 2).reshape(V, G * s)
+
+
+def _neighbor_map_direct(out_keys, in_sorted, offsets):
     x, y, z = unpack_keys(out_keys)
     ox = jnp.asarray(offsets[:, 0], jnp.int32)[None, :]
     oy = jnp.asarray(offsets[:, 1], jnp.int32)[None, :]
@@ -178,13 +236,15 @@ def level_pads_for_scenes(vox_coords_list, vox_bucket=4096,
     from box2mask_tpu.sparse.coords import pack, round_up
     counts = np.zeros(NUM_LEVELS, np.int64)
     for c in vox_coords_list:
+        # packed-key uniques per level (flooring per field is NOT monotone in
+        # lex order, so each level re-sorts its masked keys — still ~1ms each)
         keys = np.unique(pack(c))
         counts[0] = max(counts[0], len(keys))
-        prev = np.asarray(c, np.int64)
         for l in range(1, NUM_LEVELS):
-            prev = prev & ~np.int64((1 << l) - 1)
-            prev = np.unique(prev, axis=0)
-            counts[l] = max(counts[l], len(prev))
+            m = np.int64((1 << l) - 1)
+            mask = ~((m << 42) | (m << 21) | m)
+            keys = np.unique(keys & mask)
+            counts[l] = max(counts[l], len(keys))
     pads = []
     for l in range(NUM_LEVELS):
         bucket = max(min_pad, vox_bucket >> l)

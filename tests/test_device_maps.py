@@ -113,3 +113,23 @@ def test_mask_nms_matrix_matches_loop():
     kept_loop, _ = nms.mask_nms_np(masks, 0.5, allow_empty=True)
     kept_mat, _ = nms.mask_nms_matrix(masks, 0.5)
     np.testing.assert_array_equal(kept_loop, kept_mat)
+
+
+def test_maps_at_coordinate_extremes():
+    """z-run lookup near field boundaries (z=0 underflow borrow, z=1023)."""
+    rng = np.random.default_rng(9)
+    lo = rng.integers(0, 4, (150, 3))
+    hi = 1023 - rng.integers(0, 4, (150, 3))
+    mix = np.concatenate([lo, hi, rng.integers(0, 1024, (200, 3))])
+    c = np.unique(mix, axis=0).astype(np.int32)
+    host = C.build_scene_pyramid(c)
+    pads = DM.level_pads_for_scenes([c], vox_bucket=512, min_pad=64)
+    coords_b = np.full((1, pads[0], 3), -1, np.int32)
+    coords_b[0, :len(c)] = c
+    dev = DM.build_batch_maps(jnp.asarray(coords_b), pads)
+    for l in range(8):
+        n = int(host[f'num{l}'])
+        got = normalize(np.asarray(dev[f'nmap3_{l}'])[:n], pads[l])
+        np.testing.assert_array_equal(got, host[f'nmap3_{l}'])
+    got5 = normalize(np.asarray(dev['nmap5_0'])[:int(host['num0'])], pads[0])
+    np.testing.assert_array_equal(got5, host['nmap5_0'])

@@ -1,0 +1,102 @@
+"""Unit tests: LR schedule, checkpoints, config parser, prec/recall helpers
+(the prec/recall cases mirror the reference's only inline unit tests,
+utils/metric_util.py:116-161)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from box2mask_tpu.engine.schedule import cosine_lr_after_step
+from box2mask_tpu.engine import checkpoint as ckpt
+from box2mask_tpu.metrics.prec_recall import scene_precision_recall
+from box2mask_tpu.metrics.box3d import aabb_iou_cs
+from box2mask_tpu.config import get_config
+
+
+def test_cosine_schedule_shape():
+    base = 1e-3
+    assert cosine_lr_after_step(base, 0, 650, 1650) == base
+    assert cosine_lr_after_step(base, 649, 650, 1650) == base
+    mid = cosine_lr_after_step(base, (650 + 1650) // 2, 650, 1650)
+    assert abs(mid - (1e-6 + 0.5 * (base - 1e-6))) < 1e-6
+    end = cosine_lr_after_step(base, 1650, 650, 1650)
+    assert abs(end - 1e-6) < 1e-9
+
+
+def test_calc_iou_identity_and_known():
+    a = (np.zeros(3), np.ones(3))
+    assert abs(aabb_iou_cs(a, a) - 1.0) < 1e-6
+    b = (np.array([0.5, 0, 0]), np.ones(3))
+    assert abs(aabb_iou_cs(a, b) - (0.5 / 1.5)) < 1e-4
+    far = (np.ones(3) * 10, np.ones(3))
+    assert aabb_iou_cs(a, far) == 0.0
+
+
+def test_scene_precision_recall():
+    gt = [(np.zeros(3), np.ones(3)), (np.ones(3) * 5, np.ones(3))]
+    pred = [(np.zeros(3) + 0.05, np.ones(3))]
+    p, r, tp, fp, fn = scene_precision_recall(pred, gt, 0.25)
+    assert (tp, fp, fn) == (1, 0, 1)
+    assert p == 1.0 and r == 0.5
+    # duplicate prediction of the same gt counts once
+    pred2 = pred + [(np.zeros(3) + 0.02, np.ones(3))]
+    p, r, tp, fp, fn = scene_precision_recall(pred2, gt, 0.25)
+    assert (tp, fp) == (1, 1)
+
+
+def test_checkpoint_roundtrip_and_selection(tmp_path):
+    from box2mask_tpu.engine.state import TrainState
+    params = {'w': jnp.ones((3, 3))}
+    stats = {'m': jnp.zeros(3)}
+    st = TrainState(params=params, batch_stats=stats, opt_state=(),
+                    step=jnp.int32(7))
+    p1 = ckpt.save_checkpoint(str(tmp_path), st, 100.0, epoch=2,
+                              iteration_num=50)
+    st2 = st._replace(params={'w': jnp.ones((3, 3)) * 2})
+    ckpt.save_checkpoint(str(tmp_path), st2, 7200.0, epoch=5,
+                         iteration_num=200)
+    assert os.path.basename(p1) == 'checkpoint_0h:1m:40s_100.0.ckpt'
+    # latest
+    path = ckpt.find_checkpoint(str(tmp_path))
+    assert '7200.0' in path
+    # closest to 0 hours
+    path0 = ckpt.find_checkpoint(str(tmp_path), closest_to=0)
+    assert '100.0' in path0
+    # restore
+    blank = st._replace(params={'w': jnp.zeros((3, 3))})
+    restored, epoch, ttime, itn, name = ckpt.load_checkpoint(path, blank)
+    assert epoch == 5 and ttime == 7200.0 and itn == 200
+    np.testing.assert_array_equal(np.asarray(restored.params['w']),
+                                  np.ones((3, 3)) * 2)
+
+
+def test_config_reads_reference_format(tmp_path):
+    cfg_txt = tmp_path / 'exp.txt'
+    cfg_txt.write_text(
+        '# comment\n'
+        'exp_name = cfg_name\n'
+        'use_normals_input\n'
+        'network_heads = [mlp_offsets, mlp_bounds]\n'
+        'eval_ths = [0.5, 0.05, 0.3, 0.6]\n'
+        'batch_size = 8\n'
+        'dataset_name scannet\n'
+        'loss_weight_bb_bounds = 0.5\n')
+    cfg = get_config(['--config', str(cfg_txt)])
+    assert cfg.exp_name == 'exp'
+    assert cfg.use_normals_input is True
+    assert cfg.network_heads == ['mlp_offsets', 'mlp_bounds']
+    assert cfg.eval_ths == [0.5, 0.05, 0.3, 0.6]
+    assert cfg.batch_size == 8
+    assert cfg.in_channels == 6
+    # CLI overrides file
+    cfg2 = get_config(['--config', str(cfg_txt), '--batch_size', '2'])
+    assert cfg2.batch_size == 2
+
+
+def test_config_validation_errors():
+    with pytest.raises(ValueError):
+        get_config(['--network_heads', 'mlp_bb_scores'])
+    with pytest.raises(ValueError):
+        get_config(['--network_heads', 'mlp_semantics'])
