@@ -18,6 +18,7 @@ import numpy as np
 
 N_SCENES = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 N_WARMUP = 2
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
 
 def make_cfg():
@@ -35,21 +36,29 @@ def make_cfg():
         '--exp_name', 'bench'])
 
 
-def scene_stream(cfg, n, out_q):
-    from box2mask_tpu.datasets import synthetic, supervision
+def scene_stream(cfg, n_batches, out_q):
+    """Builds BATCH-scene batches; per-scene work parallelized in threads."""
+    from concurrent.futures import ThreadPoolExecutor
+    from box2mask_tpu.datasets import synthetic
     from box2mask_tpu.datasets.voxelize import voxelize_scene
     from box2mask_tpu.datasets.batching import build_batch
     from box2mask_tpu.datasets.tables import get_tables
     _, sem_id2idx, _, _ = get_tables('scannet')
+
+    def make_ret(i):
+        scene, labels = synthetic.make_scene(
+            seed=1000 + i, num_instances=18, points_per_instance=4000,
+            floor_points=45000, wall_points=35000, segs_per_instance=6)
+        ret = voxelize_scene(scene, cfg)
+        ret['labels'] = labels
+        return ret
     try:
-        for i in range(n):
-            scene, labels = synthetic.make_scene(
-                seed=1000 + i, num_instances=18, points_per_instance=4000,
-                floor_points=45000, wall_points=35000, segs_per_instance=6)
-            ret = voxelize_scene(scene, cfg)
-            ret['labels'] = labels
-            dev, host = build_batch([ret], cfg, sem_id2idx, mode='val')
-            out_q.put((dev, host))
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for b in range(n_batches):
+                rets = list(pool.map(make_ret,
+                                     range(b * BATCH, (b + 1) * BATCH)))
+                dev, host = build_batch(rets, cfg, sem_id2idx, mode='val')
+                out_q.put((dev, host))
     except BaseException as e:
         out_q.put(e)
     out_q.put(None)
@@ -77,8 +86,10 @@ def main():
 
     from concurrent.futures import ThreadPoolExecutor
     q = queue.Queue(maxsize=4)
-    total = N_WARMUP + N_SCENES
-    t = threading.Thread(target=scene_stream, args=(cfg, total, q), daemon=True)
+    total_batches = (N_WARMUP + N_SCENES + BATCH - 1) // BATCH
+    warmup_batches = 1
+    t = threading.Thread(target=scene_stream, args=(cfg, total_batches, q),
+                         daemon=True)
     t.start()
     post_pool = ThreadPoolExecutor(max_workers=4)
 
@@ -108,7 +119,7 @@ def main():
         futures.append(post_pool.submit(post))
         n_done += 1
         vox_counts.append(int(dev['num0']))
-        if n_done == N_WARMUP:
+        if n_done == warmup_batches:
             for f in futures:
                 f.result()          # drain warm-up postproc
             futures = []
@@ -116,7 +127,7 @@ def main():
     for f in futures:
         f.result()
     elapsed = time.time() - t_start
-    n_timed = n_done - N_WARMUP
+    n_timed = (n_done - warmup_batches) * BATCH
     scenes_per_sec = n_timed / elapsed
 
     result = {
@@ -126,7 +137,8 @@ def main():
         'vs_baseline': round(scenes_per_sec / 10.0, 3),
         'detail': {
             'n_scenes': n_timed,
-            'mean_voxels': int(np.mean(vox_counts)),
+            'batch_size': BATCH,
+            'mean_batch_voxels': int(np.mean(vox_counts)),
             'platform': jax.devices()[0].platform,
         },
     }
