@@ -18,7 +18,7 @@ import numpy as np
 
 N_SCENES = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 N_WARMUP = 2
-BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 
 
 def make_cfg():
@@ -113,10 +113,11 @@ def main():
         pred = forward(params, stats, batch)
         pred = {k: np.asarray(v) for k, v in pred.items()}
 
-        def post(pred=pred, dev=dev, host=host):
-            return detection_to_masks(pred, dev, host, cfg, valid_ids, is_fg,
-                                      mode='eval')
-        futures.append(post_pool.submit(post))
+        for si in range(len(host['scene'])):
+            def post(pred=pred, dev=dev, host=host, si=si):
+                return detection_to_masks(pred, dev, host, cfg, valid_ids,
+                                          is_fg, mode='eval', scene_idx=si)
+            futures.append(post_pool.submit(post))
         n_done += 1
         vox_counts.append(int(dev['num0']))
         if n_done == warmup_batches:

@@ -185,6 +185,8 @@ def config_parser():
     add('--prefetch_batches', type=int, default=2)
     add('--use_native_host_ops', default=True, action='store_true',
         help='Use the C host library for voxelization/neighbor maps when built.')
+    add('--profile_dir', type=str, default=None,
+        help='Write a jax.profiler trace of train steps 10-14 to this dir.')
     add('--pallas_conv', type=str, default='auto',
         choices=['auto', 'on', 'off'],
         help='Fused pallas gather-GEMM sparse conv: auto = on TPU only.')

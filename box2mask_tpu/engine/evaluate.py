@@ -310,6 +310,25 @@ class Evaluater:
                     tmp[small] = -1
                     pred_inst[cm] = tmp
 
+                if self.cfg.full_resolution:
+                    # upsample predictions to the full point cloud by 1-NN
+                    # against the sampled positions (reference
+                    # evaluation.py:151-154,216-222 get_sparse2dense)
+                    import copy as _copy
+                    from scipy.spatial import cKDTree
+                    from box2mask_tpu.datasets import s3dis as s3dis_reader
+                    full_cfg = _copy.copy(self.cfg)
+                    full_cfg.point_sampling_rate = None
+                    scene_full, labels_full = s3dis_reader.process_scene(
+                        name, 'val', full_cfg, do_augmentations=False)
+                    tree = cKDTree(scene['positions'])
+                    _, sparse2dense = tree.query(scene_full['positions'], k=1)
+                    gt_labels.append({'semantics': labels_full['semantics'],
+                                      'instances': labels_full['instances']})
+                    pred_labels.append(
+                        {'semantics': pred_sem[sparse2dense],
+                         'instances': pred_inst[sparse2dense]})
+                    continue
                 gt_labels.append({'semantics': labels['semantics'],
                                   'instances': labels['instances']})
                 pred_labels.append({'semantics': pred_sem,

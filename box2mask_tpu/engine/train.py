@@ -189,6 +189,8 @@ class Trainer:
                         epoch == self.start_epoch and cfg.skip_first_eval):
                     self._epoch_head(epoch)
 
+                if self.cfg.profile_dir and self.iteration_num == 10:
+                    jax.profiler.start_trace(self.cfg.profile_dir)
                 t1 = time.time()
                 self.state, ld = self._train_step(
                     self.state, dev, jnp.float32(lr), jnp.float32(bb_w),
@@ -197,6 +199,9 @@ class Trainer:
                 step_time = time.time() - t1
                 self.training_time += time.time() - t0
                 self.iteration_num += 1
+                if self.cfg.profile_dir and self.iteration_num == 15:
+                    jax.profiler.stop_trace()
+                    print(f'Profiler trace written to {self.cfg.profile_dir}')
 
                 self.writer.add_scalar('iteration/batch_prep_time', prep_time,
                                        self.iteration_num)

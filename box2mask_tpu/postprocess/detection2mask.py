@@ -29,9 +29,11 @@ def _sigmoid(x):
 
 
 def detection_to_masks(pred, dev, host, cfg, valid_class_ids, is_foreground,
-                       mode='eval', score_filtering=True, ths=None):
+                       mode='eval', score_filtering=True, ths=None,
+                       scene_idx=None):
     """pred: dict of np arrays (padded); dev/host: batch dicts from build_batch.
-    Returns {scene_name: {conf, label_id, mask, ...}} like the reference."""
+    Returns {scene_name: {conf, label_id, mask, ...}} like the reference.
+    With scene_idx set, processes only that scene (parallel post-processing)."""
     cluster_th, score_th, mask_bin_th, mask_nms_th = ths if ths is not None \
         else cfg.eval_ths
     S = int(dev['num_segments'])
@@ -55,7 +57,9 @@ def detection_to_masks(pred, dev, host, cfg, valid_class_ids, is_foreground,
     batch_ids = np.asarray(dev['batch_ids'])[:S]
     vox_batch = np.asarray(dev['batch0'])
     results = {}
-    for scene_idx, scene in enumerate(host['scene']):
+    scene_list = (enumerate(host['scene']) if scene_idx is None
+                  else [(scene_idx, host['scene'][scene_idx])])
+    for scene_idx, scene in scene_list:
         smask = batch_ids == scene_idx
         n_seg = int(smask.sum())
         seg2vox = host['seg2vox'][scene_idx]
