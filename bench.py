@@ -110,12 +110,14 @@ def main():
             variables = model.init(jax.random.PRNGKey(0),
                                    S.materialize_maps(batch), train=False)
             params, stats = variables['params'], variables['batch_stats']
-        pred = forward(params, stats, batch)
-        pred = {k: np.asarray(v) for k, v in pred.items()}
+        pred = forward(params, stats, batch)   # async dispatch
 
         for si in range(len(host['scene'])):
             def post(pred=pred, dev=dev, host=host, si=si):
-                return detection_to_masks(pred, dev, host, cfg, valid_ids,
+                # device->host readback happens here, in the worker, so the
+                # main loop keeps the device queue full
+                pred_np = {k: np.asarray(v) for k, v in pred.items()}
+                return detection_to_masks(pred_np, dev, host, cfg, valid_ids,
                                           is_fg, mode='eval', scene_idx=si)
             futures.append(post_pool.submit(post))
         n_done += 1
