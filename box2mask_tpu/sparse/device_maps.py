@@ -157,10 +157,64 @@ def _offsets(size, step):
     return kernel_offsets(size, step)
 
 
+def _run_map_queries(out_keys, offsets):
+    """Base queries + per-axis validity for the z-run trick.
+    Returns (qbase (V,G), xy_valid (V,G), qz0 (V,G), G, s, step) or None."""
+    offsets = np.asarray(offsets)
+    K = len(offsets)
+    s = round(K ** (1 / 3)) if K > 1 else 1
+    if s <= 1 or s ** 3 != K:
+        # 2^3 down-kernels: runs of length 2
+        s = 2 if K % 2 == 0 and K > 1 else 1
+    if s <= 1:
+        return None
+    grp = offsets.reshape(K // s, s, 3)
+    step = int(grp[0, 1, 2] - grp[0, 0, 2]) if s > 1 else 1
+    ok = (step >= 1 and (grp[:, :, 0] == grp[:, :1, 0]).all()
+          and (grp[:, :, 1] == grp[:, :1, 1]).all()
+          and (np.diff(grp[:, :, 2], axis=1) == step).all())
+    if not ok:
+        return None
+    x, y, z = unpack_keys(out_keys)
+    base_off = grp[:, 0]
+    ox = jnp.asarray(base_off[:, 0], jnp.int32)[None, :]
+    oy = jnp.asarray(base_off[:, 1], jnp.int32)[None, :]
+    oz0 = jnp.asarray(base_off[:, 2], jnp.int32)[None, :]
+    qx, qy = x[:, None] + ox, y[:, None] + oy
+    xy_valid = ((qx >= 0) & (qx < AXIS_MAX) & (qy >= 0) & (qy < AXIS_MAX)
+                & (out_keys < SENT_KEY)[:, None])
+    qz0 = z[:, None] + oz0
+    qbase = ((jnp.clip(qx, 0, AXIS_MAX - 1) << (2 * AXIS_BITS))
+             | (jnp.clip(qy, 0, AXIS_MAX - 1) << AXIS_BITS)) + qz0
+    return qbase, xy_valid, qz0, len(grp), s, step
+
+
+def _resolve_runs(in_sorted, p0, qbase, xy_valid, qz0, s, step):
+    """Turn run-base insertion points p0 into the full (V, G*s) map."""
+    V, G = qbase.shape
+    Vp = in_sorted.shape[0]
+    wins = [jnp.take(in_sorted, jnp.minimum(p0 + j, Vp - 1).reshape(-1),
+                     axis=0).reshape(V, G) for j in range(s)]
+    cols = []
+    for j in range(s):
+        qd = qbase + j * step
+        z_valid = (qz0 + j * step >= 0) & (qz0 + j * step < AXIS_MAX) & xy_valid
+        pos = jnp.full((V, G), Vp, jnp.int32)
+        for t in range(j + 1):
+            hit = (wins[t] == qd) & z_valid & (p0 + t < Vp)
+            pos = jnp.where(hit, p0 + t, pos)
+        cols.append(pos)
+    return jnp.stack(cols, axis=2).reshape(V, G * s)
+
+
 def build_scene_maps(keys0_raw, level_pads, stem_kernel=5):
     """All per-scene maps from raw (possibly SENT-padded) finest-level keys.
     `level_pads` is a static tuple of 8 ints. Local index convention: missing ==
-    level_pads[in_level]."""
+    level_pads[in_level].
+
+    All lookups against one level's key array are batched into a single
+    sort-merge searchsorted call (the per-call sort dominates; one call per
+    level instead of four)."""
     out = {}
     keys = []
     k0, n0 = unique_sorted(keys0_raw, level_pads[0])
@@ -176,16 +230,48 @@ def build_scene_maps(keys0_raw, level_pads, stem_kernel=5):
         out[f'valid{l}'] = keys[l] < SENT_KEY
         x, y, z = unpack_keys(jnp.where(keys[l] < SENT_KEY, keys[l], 0))
         out[f'coords{l}'] = jnp.stack([x, y, z], axis=1)
-        out[f'nmap3_{l}'] = neighbor_map(keys[l], keys[l], _offsets(3, 1 << l))
-    out['nmap5_0'] = neighbor_map(keys[0], keys[0], _offsets(stem_kernel, 1))
-    for l in range(NUM_LEVELS - 1):
-        out[f'down{l}'] = neighbor_map(keys[l + 1], keys[l], _offsets(2, 1 << l))
-        parent = jnp.where(keys[l] < SENT_KEY,
-                           keys[l] & level_floor_mask(l + 1), SENT_KEY)
-        out[f'up_parent{l}'] = lookup(keys[l + 1], parent, keys[l] < SENT_KEY)
-        x, y, z = unpack_keys(keys[l])
-        out[f'up_widx{l}'] = (((x >> l) & 1) * 4 + ((y >> l) & 1) * 2
-                              + ((z >> l) & 1)).astype(jnp.int32)
+
+    for l in range(NUM_LEVELS):
+        # queries against level-l keys: nmap3_l, (stem at l=0),
+        # down{l} (outputs at level l+1), up_parent{l-1} (fine level l-1)
+        jobs = [('nmap3', _run_map_queries(keys[l], _offsets(3, 1 << l)))]
+        if l == 0:
+            jobs.append(('nmap5', _run_map_queries(
+                keys[0], _offsets(stem_kernel, 1))))
+        if l < NUM_LEVELS - 1:
+            jobs.append(('down', _run_map_queries(keys[l + 1],
+                                                  _offsets(2, 1 << l))))
+        flat_qs = [j[1][0].reshape(-1) for j in jobs]
+        if l >= 1:
+            parent = jnp.where(keys[l - 1] < SENT_KEY,
+                               keys[l - 1] & level_floor_mask(l), SENT_KEY)
+            flat_qs.append(parent)
+        allq = jnp.concatenate(flat_qs)
+        allp = jnp.searchsorted(keys[l], allq,
+                                method='sort').astype(jnp.int32)
+        off = 0
+        for (name, rq), fq in zip(jobs, flat_qs):
+            qbase, xy_valid, qz0, G, s, step = rq
+            p0 = allp[off:off + fq.shape[0]].reshape(qbase.shape)
+            off += fq.shape[0]
+            m = _resolve_runs(keys[l], p0, qbase, xy_valid, qz0, s, step)
+            if name == 'nmap3':
+                out[f'nmap3_{l}'] = m
+            elif name == 'nmap5':
+                out['nmap5_0'] = m
+            else:
+                out[f'down{l}'] = m
+        if l >= 1:
+            Vp = level_pads[l]
+            pp = jnp.minimum(allp[off:], Vp - 1)
+            found = (jnp.take(keys[l], pp) == flat_qs[-1]) \
+                & (keys[l - 1] < SENT_KEY)
+            out[f'up_parent{l - 1}'] = jnp.where(found, pp, Vp).astype(
+                jnp.int32)
+            x, y, z = unpack_keys(keys[l - 1])
+            ll = l - 1
+            out[f'up_widx{ll}'] = (((x >> ll) & 1) * 4 + ((y >> ll) & 1) * 2
+                                   + ((z >> ll) & 1)).astype(jnp.int32)
     return out
 
 
