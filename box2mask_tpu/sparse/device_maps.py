@@ -50,12 +50,11 @@ def level_floor_mask(l):
     return ~jnp.int32((m << (2 * AXIS_BITS)) | (m << AXIS_BITS) | m)
 
 
-def unique_sorted(keys, out_pad, pre_sorted=False):
+def unique_sorted(keys, out_pad):
     """Sorted-unique compaction to a fixed size. `keys` may contain SENT_KEY
     padding; output is ascending real keys then SENT_KEY tail. Returns
-    (out_keys (out_pad,), num). pre_sorted=True skips the (very expensive on
-    TPU) 1-D sort — level-0 keys arrive host-sorted."""
-    sk = keys if pre_sorted else jnp.sort(keys)
+    (out_keys (out_pad,), num)."""
+    sk = jnp.sort(keys)
     first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
     real = sk < SENT_KEY
     f = first & real
@@ -64,95 +63,6 @@ def unique_sorted(keys, out_pad, pre_sorted=False):
     out = jnp.full((out_pad + 1,), SENT_KEY, jnp.int32).at[idx].set(
         jnp.where(f, sk, SENT_KEY), mode='drop')[:out_pad]
     return out, jnp.sum(f).astype(jnp.int32)
-
-
-# ----------------------------------------------------------- device hash table
-# Open-addressing (linear probing) hash for key -> row lookups. TPU 1-D sorts
-# run at only ~2M elems/s, so sort-merge searchsorted dominated map building;
-# hash probes are plain gathers (~30GB/s). Insert resolves slot contention with
-# scatter-min ("smallest contending key wins"), losers probe the next slot.
-
-_HASH_MULT = np.uint32(0x9E3779B1)           # Fibonacci hashing
-_MAX_PROBES = 64
-
-
-def _table_bits(n_keys):
-    bits = 1
-    while (1 << bits) < 4 * n_keys:          # load factor <= 0.25
-        bits += 1
-    return bits
-
-
-def _hash(keys, bits):
-    u = keys.astype(jnp.uint32) * _HASH_MULT
-    return (u >> np.uint32(32 - bits)).astype(jnp.int32)
-
-
-def build_hash(sorted_keys, bits):
-    """(table_keys (TS,), table_rows (TS,)) from a SENT-padded key array.
-
-    Ordered open addressing (Amble-Knuth): iterate scatter-min insertions until
-    a fixpoint where every key sits at a slot holding itself. A placed key can
-    be displaced by a smaller key arriving later — the fixpoint loop re-checks
-    ALL keys each round, so displaced keys resume probing; rows are assigned
-    only after convergence (no stale-row hazard)."""
-    TS = 1 << bits
-    Vp = sorted_keys.shape[0]
-    real = sorted_keys < SENT_KEY
-    pos0 = _hash(sorted_keys, bits)
-    table_k0 = jnp.full((TS,), SENT_KEY, jnp.int32)
-
-    def misplaced(table_k, pos):
-        return real & (jnp.take(table_k, pos) != sorted_keys)
-
-    def body_c(state):
-        (table_k, pos), it = state
-        act = misplaced(table_k, pos)
-        idx = jnp.where(act, pos, TS)
-        table_k = jnp.concatenate(
-            [table_k, jnp.full((1,), SENT_KEY, jnp.int32)]
-        ).at[idx].min(jnp.where(act, sorted_keys, SENT_KEY))[:TS]
-        # advance keys that still don't own their slot after this round
-        still = misplaced(table_k, pos)
-        pos = jnp.where(still, (pos + 1) & (TS - 1), pos)
-        return (table_k, pos), it + 1
-
-    def cond_c(state):
-        (table_k, pos), it = state
-        return jnp.any(misplaced(table_k, pos)) & (it < _MAX_PROBES)
-
-    (table_k, pos), _ = jax.lax.while_loop(
-        cond_c, body_c, ((table_k0, pos0), jnp.int32(0)))
-    rows = jnp.arange(Vp, dtype=jnp.int32)
-    table_r = jnp.full((TS + 1,), Vp, jnp.int32).at[
-        jnp.where(real, pos, TS)].set(rows)[:TS]
-    return table_k, table_r
-
-
-def hash_lookup(table_k, table_r, q_keys, q_valid, missing):
-    """Row for each query key, `missing` when absent/invalid."""
-    TS = table_k.shape[0]
-    bits = int(np.log2(TS))
-    pos0 = _hash(q_keys, bits)
-    res0 = jnp.full(q_keys.shape, missing, jnp.int32)
-    act0 = q_valid
-
-    def body_c(state):
-        (pos, res, act), it = state
-        tk = jnp.take(table_k, pos)
-        found = act & (tk == q_keys)
-        res = jnp.where(found, jnp.take(table_r, pos), res)
-        act = act & ~found & (tk < SENT_KEY)   # empty slot => absent
-        pos = (pos + 1) & (TS - 1)
-        return (pos, res, act), it + 1
-
-    def cond_c(state):
-        (pos, res, act), it = state
-        return jnp.any(act) & (it < _MAX_PROBES)
-
-    (_, res, _), _ = jax.lax.while_loop(
-        cond_c, body_c, ((pos0, res0, act0), jnp.int32(0)))
-    return res
 
 
 def lookup(sorted_keys, q_keys, q_valid):
@@ -247,86 +157,13 @@ def _offsets(size, step):
     return kernel_offsets(size, step)
 
 
-def _run_map_queries(out_keys, offsets):
-    """Base queries + per-axis validity for the z-run trick.
-    Returns (qbase (V,G), xy_valid (V,G), qz0 (V,G), G, s, step) or None."""
-    offsets = np.asarray(offsets)
-    K = len(offsets)
-    s = round(K ** (1 / 3)) if K > 1 else 1
-    if s <= 1 or s ** 3 != K:
-        # 2^3 down-kernels: runs of length 2
-        s = 2 if K % 2 == 0 and K > 1 else 1
-    if s <= 1:
-        return None
-    grp = offsets.reshape(K // s, s, 3)
-    step = int(grp[0, 1, 2] - grp[0, 0, 2]) if s > 1 else 1
-    ok = (step >= 1 and (grp[:, :, 0] == grp[:, :1, 0]).all()
-          and (grp[:, :, 1] == grp[:, :1, 1]).all()
-          and (np.diff(grp[:, :, 2], axis=1) == step).all())
-    if not ok:
-        return None
-    x, y, z = unpack_keys(out_keys)
-    base_off = grp[:, 0]
-    ox = jnp.asarray(base_off[:, 0], jnp.int32)[None, :]
-    oy = jnp.asarray(base_off[:, 1], jnp.int32)[None, :]
-    oz0 = jnp.asarray(base_off[:, 2], jnp.int32)[None, :]
-    qx, qy = x[:, None] + ox, y[:, None] + oy
-    xy_valid = ((qx >= 0) & (qx < AXIS_MAX) & (qy >= 0) & (qy < AXIS_MAX)
-                & (out_keys < SENT_KEY)[:, None])
-    qz0 = z[:, None] + oz0
-    qbase = ((jnp.clip(qx, 0, AXIS_MAX - 1) << (2 * AXIS_BITS))
-             | (jnp.clip(qy, 0, AXIS_MAX - 1) << AXIS_BITS)) + qz0
-    return qbase, xy_valid, qz0, len(grp), s, step
-
-
-def _resolve_runs(in_sorted, p0, qbase, xy_valid, qz0, s, step):
-    """Turn run-base insertion points p0 into the full (V, G*s) map."""
-    V, G = qbase.shape
-    Vp = in_sorted.shape[0]
-    wins = [jnp.take(in_sorted, jnp.minimum(p0 + j, Vp - 1).reshape(-1),
-                     axis=0).reshape(V, G) for j in range(s)]
-    cols = []
-    for j in range(s):
-        qd = qbase + j * step
-        z_valid = (qz0 + j * step >= 0) & (qz0 + j * step < AXIS_MAX) & xy_valid
-        pos = jnp.full((V, G), Vp, jnp.int32)
-        for t in range(j + 1):
-            hit = (wins[t] == qd) & z_valid & (p0 + t < Vp)
-            pos = jnp.where(hit, p0 + t, pos)
-        cols.append(pos)
-    return jnp.stack(cols, axis=2).reshape(V, G * s)
-
-
-def _hash_neighbor_map(table_k, table_r, out_keys, offsets, missing):
-    """(Vout, K) map via hash probes (offsets: static (K,3) numpy array)."""
-    x, y, z = unpack_keys(out_keys)
-    offsets = np.asarray(offsets)
-    ox = jnp.asarray(offsets[:, 0], jnp.int32)[None, :]
-    oy = jnp.asarray(offsets[:, 1], jnp.int32)[None, :]
-    oz = jnp.asarray(offsets[:, 2], jnp.int32)[None, :]
-    qx, qy, qz = x[:, None] + ox, y[:, None] + oy, z[:, None] + oz
-    valid = ((qx >= 0) & (qx < AXIS_MAX) & (qy >= 0) & (qy < AXIS_MAX)
-             & (qz >= 0) & (qz < AXIS_MAX) & (out_keys < SENT_KEY)[:, None])
-    qk = ((jnp.clip(qx, 0, AXIS_MAX - 1) << (2 * AXIS_BITS))
-          | (jnp.clip(qy, 0, AXIS_MAX - 1) << AXIS_BITS)
-          | jnp.clip(qz, 0, AXIS_MAX - 1))
-    V, K = qk.shape
-    return hash_lookup(table_k, table_r, qk.reshape(-1), valid.reshape(-1),
-                       missing).reshape(V, K)
-
-
 def build_scene_maps(keys0_raw, level_pads, stem_kernel=5):
-    """All per-scene maps from raw (SENT-padded, host-sorted) finest-level
-    keys. `level_pads` is a static tuple of 8 ints. Local index convention:
-    missing == level_pads[in_level].
-
-    Every neighbor lookup goes through a per-level open-addressing hash table
-    (plain gathers) instead of sort-based binary search — 1-D sorts are the
-    slowest primitive on TPU, so the only remaining sorts are the 7 deeper-
-    level unique compactions (level 0 arrives sorted from the host)."""
+    """All per-scene maps from raw (possibly SENT-padded) finest-level keys.
+    `level_pads` is a static tuple of 8 ints. Local index convention: missing ==
+    level_pads[in_level]."""
     out = {}
     keys = []
-    k0, n0 = unique_sorted(keys0_raw, level_pads[0], pre_sorted=True)
+    k0, n0 = unique_sorted(keys0_raw, level_pads[0])
     keys.append(k0)
     out['num0'] = n0
     for l in range(1, NUM_LEVELS):
@@ -339,28 +176,16 @@ def build_scene_maps(keys0_raw, level_pads, stem_kernel=5):
         out[f'valid{l}'] = keys[l] < SENT_KEY
         x, y, z = unpack_keys(jnp.where(keys[l] < SENT_KEY, keys[l], 0))
         out[f'coords{l}'] = jnp.stack([x, y, z], axis=1)
-
-    for l in range(NUM_LEVELS):
-        Vp = level_pads[l]
-        table_k, table_r = build_hash(keys[l], _table_bits(Vp))
-        out[f'nmap3_{l}'] = _hash_neighbor_map(table_k, table_r, keys[l],
-                                               _offsets(3, 1 << l), Vp)
-        if l == 0:
-            out['nmap5_0'] = _hash_neighbor_map(table_k, table_r, keys[0],
-                                                _offsets(stem_kernel, 1), Vp)
-        if l < NUM_LEVELS - 1:
-            # down conv: outputs at level l+1, inputs at level l
-            out[f'down{l}'] = _hash_neighbor_map(
-                table_k, table_r, keys[l + 1], _offsets(2, 1 << l), Vp)
-        if l >= 1:
-            parent = jnp.where(keys[l - 1] < SENT_KEY,
-                               keys[l - 1] & level_floor_mask(l), SENT_KEY)
-            out[f'up_parent{l - 1}'] = hash_lookup(
-                table_k, table_r, parent, keys[l - 1] < SENT_KEY, Vp)
-            x, y, z = unpack_keys(keys[l - 1])
-            ll = l - 1
-            out[f'up_widx{ll}'] = (((x >> ll) & 1) * 4 + ((y >> ll) & 1) * 2
-                                   + ((z >> ll) & 1)).astype(jnp.int32)
+        out[f'nmap3_{l}'] = neighbor_map(keys[l], keys[l], _offsets(3, 1 << l))
+    out['nmap5_0'] = neighbor_map(keys[0], keys[0], _offsets(stem_kernel, 1))
+    for l in range(NUM_LEVELS - 1):
+        out[f'down{l}'] = neighbor_map(keys[l + 1], keys[l], _offsets(2, 1 << l))
+        parent = jnp.where(keys[l] < SENT_KEY,
+                           keys[l] & level_floor_mask(l + 1), SENT_KEY)
+        out[f'up_parent{l}'] = lookup(keys[l + 1], parent, keys[l] < SENT_KEY)
+        x, y, z = unpack_keys(keys[l])
+        out[f'up_widx{l}'] = (((x >> l) & 1) * 4 + ((y >> l) & 1) * 2
+                              + ((z >> l) & 1)).astype(jnp.int32)
     return out
 
 

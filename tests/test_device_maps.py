@@ -133,35 +133,3 @@ def test_maps_at_coordinate_extremes():
         np.testing.assert_array_equal(got, host[f'nmap3_{l}'])
     got5 = normalize(np.asarray(dev['nmap5_0'])[:int(host['num0'])], pads[0])
     np.testing.assert_array_equal(got5, host['nmap5_0'])
-
-
-def test_hash_table_build_and_lookup_stress():
-    """Ordered-hash insert/probe: dense, clustered, and adversarial keys."""
-    import jax
-    for seed, n in ((0, 5000), (1, 200), (2, 60000)):
-        rng = np.random.default_rng(seed)
-        # clustered keys stress probe chains
-        base = rng.integers(0, 1 << 29, n // 2, dtype=np.int32)
-        clustered = (base[: n // 2] & ~np.int32(127)) + rng.integers(
-            0, 128, n // 2, dtype=np.int32)
-        keys = np.unique(np.concatenate([base, clustered]))
-        Vp = len(keys) + 37
-        padded = np.concatenate([keys, np.full(37, int(DM.SENT_KEY),
-                                               np.int32)]).astype(np.int32)
-        bits = DM._table_bits(Vp)
-        tk, tr = jax.jit(DM.build_hash, static_argnums=1)(
-            jnp.asarray(padded), bits)
-        # every key found at its row
-        rows = DM.hash_lookup(tk, tr, jnp.asarray(keys),
-                              jnp.ones(len(keys), bool), Vp)
-        np.testing.assert_array_equal(np.asarray(rows), np.arange(len(keys)))
-        # absent keys -> missing
-        absent = keys[: 100] + 1
-        absent = absent[~np.isin(absent, keys)]
-        rows2 = DM.hash_lookup(tk, tr, jnp.asarray(absent),
-                               jnp.ones(len(absent), bool), Vp)
-        assert (np.asarray(rows2) == Vp).all()
-        # invalid queries -> missing
-        rows3 = DM.hash_lookup(tk, tr, jnp.asarray(keys[:10]),
-                               jnp.zeros(10, bool), Vp)
-        assert (np.asarray(rows3) == Vp).all()
