@@ -64,16 +64,20 @@ def export_scene_visualization(out_dir, scene, labels, result, cfg=None):
                          semantic_colors(labels['semantics']))
     if result is not None:
         inst = masks_to_instance_ids(result['mask'], result['conf'])
-        if inst is not None and len(inst) == len(pos):
-            write_ply_points(os.path.join(out_dir, 'pred_instances.ply'), pos,
-                             instance_colors(inst))
-            sem = np.zeros(len(pos), np.int64)
-            order = np.argsort(result['conf'])
-            for j in order:
-                sem[np.asarray(result['mask'][j]) > 0] = int(
-                    result['label_id'][j])
-            write_ply_points(os.path.join(out_dir, 'pred_semantics.ply'), pos,
-                             semantic_colors(sem))
+        if inst is None or len(inst) != len(pos):
+            # no surviving predictions: still write the files (all background)
+            # so the visualization set is always complete
+            inst = np.zeros(len(pos), np.int64)
+        write_ply_points(os.path.join(out_dir, 'pred_instances.ply'), pos,
+                         instance_colors(inst))
+        sem = np.zeros(len(pos), np.int64)
+        order = np.argsort(result['conf'])
+        for j in order:
+            mask = np.asarray(result['mask'][j]) > 0
+            if len(mask) == len(pos):
+                sem[mask] = int(result['label_id'][j])
+        write_ply_points(os.path.join(out_dir, 'pred_semantics.ply'), pos,
+                         semantic_colors(sem))
         if 'bbs' in result:
             np.save(os.path.join(out_dir, 'bbs.npy'),
                     np.asarray(result['bbs']))
