@@ -50,11 +50,12 @@ def level_floor_mask(l):
     return ~jnp.int32((m << (2 * AXIS_BITS)) | (m << AXIS_BITS) | m)
 
 
-def unique_sorted(keys, out_pad):
+def unique_sorted(keys, out_pad, pre_sorted=False):
     """Sorted-unique compaction to a fixed size. `keys` may contain SENT_KEY
     padding; output is ascending real keys then SENT_KEY tail. Returns
-    (out_keys (out_pad,), num)."""
-    sk = jnp.sort(keys)
+    (out_keys (out_pad,), num). pre_sorted skips the device sort (1-D sorts
+    run at only ~2M elem/s on TPU) — level-0 keys arrive host-sorted."""
+    sk = keys if pre_sorted else jnp.sort(keys)
     first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
     real = sk < SENT_KEY
     f = first & real
@@ -157,13 +158,26 @@ def _offsets(size, step):
     return kernel_offsets(size, step)
 
 
+def _subkernel_columns(big, small, step):
+    """Column indices of `small`-kernel offsets inside the `big`-kernel offset
+    list (both from kernel_offsets at the same step)."""
+    big_offs = [tuple(o) for o in np.asarray(_offsets(big, step))]
+    return np.array([big_offs.index(tuple(o))
+                     for o in np.asarray(_offsets(small, step))])
+
+
 def build_scene_maps(keys0_raw, level_pads, stem_kernel=5):
-    """All per-scene maps from raw (possibly SENT-padded) finest-level keys.
-    `level_pads` is a static tuple of 8 ints. Local index convention: missing ==
-    level_pads[in_level]."""
+    """All per-scene maps from raw (SENT-padded, host-sorted) finest-level
+    keys. `level_pads` is a static tuple of 8 ints. Local index convention:
+    missing == level_pads[in_level].
+
+    Query-avoidance tricks: (a) level-0 arrives sorted from the host -> skip
+    the (slow) device sort; (b) the 3^3 map at level 0 is a column subset of
+    the 5^3 stem map (same in/out keys) -> free; (c) up_parent is the inverse
+    of the down map -> one scatter instead of a binary search per level."""
     out = {}
     keys = []
-    k0, n0 = unique_sorted(keys0_raw, level_pads[0])
+    k0, n0 = unique_sorted(keys0_raw, level_pads[0], pre_sorted=True)
     keys.append(k0)
     out['num0'] = n0
     for l in range(1, NUM_LEVELS):
@@ -176,13 +190,26 @@ def build_scene_maps(keys0_raw, level_pads, stem_kernel=5):
         out[f'valid{l}'] = keys[l] < SENT_KEY
         x, y, z = unpack_keys(jnp.where(keys[l] < SENT_KEY, keys[l], 0))
         out[f'coords{l}'] = jnp.stack([x, y, z], axis=1)
-        out[f'nmap3_{l}'] = neighbor_map(keys[l], keys[l], _offsets(3, 1 << l))
+        if l > 0:
+            out[f'nmap3_{l}'] = neighbor_map(keys[l], keys[l],
+                                             _offsets(3, 1 << l))
     out['nmap5_0'] = neighbor_map(keys[0], keys[0], _offsets(stem_kernel, 1))
+    if stem_kernel >= 3:
+        sub = _subkernel_columns(stem_kernel, 3, 1)
+        out['nmap3_0'] = out['nmap5_0'][:, jnp.asarray(sub)]
+    else:
+        out['nmap3_0'] = neighbor_map(keys[0], keys[0], _offsets(3, 1))
     for l in range(NUM_LEVELS - 1):
-        out[f'down{l}'] = neighbor_map(keys[l + 1], keys[l], _offsets(2, 1 << l))
-        parent = jnp.where(keys[l] < SENT_KEY,
-                           keys[l] & level_floor_mask(l + 1), SENT_KEY)
-        out[f'up_parent{l}'] = lookup(keys[l + 1], parent, keys[l] < SENT_KEY)
+        down = neighbor_map(keys[l + 1], keys[l], _offsets(2, 1 << l))
+        out[f'down{l}'] = down
+        # invert the down map: each fine voxel appears exactly once as a child
+        Vl, Vl1 = level_pads[l], level_pads[l + 1]
+        parents = jnp.broadcast_to(
+            jnp.arange(Vl1, dtype=jnp.int32)[:, None], down.shape)
+        child = jnp.where(down < Vl, down, Vl)     # missing -> trash row
+        up_parent = jnp.full((Vl + 1,), Vl1, jnp.int32).at[
+            child.reshape(-1)].set(parents.reshape(-1), mode='drop')[:Vl]
+        out[f'up_parent{l}'] = jnp.where(keys[l] < SENT_KEY, up_parent, Vl1)
         x, y, z = unpack_keys(keys[l])
         out[f'up_widx{l}'] = (((x >> l) & 1) * 4 + ((y >> l) & 1) * 2
                               + ((z >> l) & 1)).astype(jnp.int32)
