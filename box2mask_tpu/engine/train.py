@@ -97,10 +97,11 @@ class Trainer:
             self.mesh = M.make_mesh(self.n_devices)
             self._train_step = M.make_parallel_train_step(
                 cfg, self.model, self.tx, self.mesh)
-            self._val_step = M.make_parallel_val_step(cfg, self.model, self.mesh)
         else:
             self._train_step = S.make_train_step(cfg, self.model, self.tx)
-            self._val_step = S.make_val_step(cfg, self.model)
+        # eval mode has no collectives (BN uses running stats), so one plain
+        # jit val step serves both single- and multi-device training
+        self._val_step = S.make_val_step(cfg, self.model)
         self._resume()
 
     def _resume(self):
@@ -148,13 +149,8 @@ class Trainer:
             if i >= self.cfg.num_eval_batches:
                 break
             batch = {k: jnp.asarray(v) for k, v in dev.items()}
-            if self.n_devices > 1:
-                ld = self._val_step(self.state.params, self.state.batch_stats,
-                                    {k: v[None] for k, v in batch.items()},
-                                    jnp.float32(bb_w), jnp.float32(cs_w))
-            else:
-                ld = self._val_step(self.state, batch, jnp.float32(bb_w),
-                                    jnp.float32(cs_w))
+            ld = self._val_step(self.state, batch, jnp.float32(bb_w),
+                                jnp.float32(cs_w))
             for k, v in ld.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
