@@ -229,3 +229,40 @@ def apply_hue_aug(colors01, rng=np.random):
     img = (colors01 * 255).astype(np.uint8)
     img = hue_saturation_value(img, rng=rng)
     return _normalize(_mix3d_pipeline(img, rng))
+
+
+# --------------------------------------------------------------- scene helper
+def augment_scene(scene, cfg, rng=np.random):
+    """Apply the standard geometric+color augmentation suite to a scene dict
+    (positions/colors/normals in place of the mesh-based reader flow). Used by
+    the synthetic dataset; the real readers apply augs inside their readers."""
+    pos = scene['positions']
+    if rng.rand() < cfg.rotation_aug[0]:
+        pos = rotate_points(pos, cfg.rotation_aug[1], cfg.rotation_aug[2], rng)
+    if cfg.rotation_90_aug:
+        pos = rotate_points_90(pos, rng)
+    if rng.rand() < cfg.flipping_aug:
+        pos = flip_x(pos)
+    if rng.rand() < cfg.position_jittering[0]:
+        pos = position_jitter(pos, cfg.position_jittering[1], rng)
+    if rng.rand() < cfg.scaling_aug[0]:
+        pos = scale_points(pos, cfg.scaling_aug[1], cfg.scaling_aug[2], rng)
+    colors = scene['colors']
+    if rng.rand() < cfg.chromatic_auto_contrast:
+        colors = chromatic_auto_contrast(colors, rng=rng)
+    if rng.rand() < cfg.chromatic_translation[0]:
+        colors = chromatic_translation(colors, cfg.chromatic_translation[1],
+                                       rng)
+    if rng.rand() < cfg.color_jittering_aug[0]:
+        colors = color_jittering(colors, -cfg.color_jittering_aug[1],
+                                 cfg.color_jittering_aug[1], rng)
+    if rng.rand() < cfg.random_brightness[0]:
+        colors = random_brightness(colors, cfg.random_brightness[1], rng)
+    if cfg.mix_3d_color_aug:
+        colors = apply_mix3d_color_aug(colors, rng)
+    if cfg.apply_hue_aug:
+        colors = apply_hue_aug(colors, rng)
+    out = dict(scene)
+    out['positions'] = pos
+    out['colors'] = colors
+    return out

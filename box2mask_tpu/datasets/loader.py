@@ -92,7 +92,15 @@ class Synthetic(SceneDataset):
 
     def read_scene(self, scene_name):
         seed = int(scene_name[5:10])
-        return synthetic.make_scene(seed=seed, name=scene_name)
+        scene, labels = synthetic.make_scene(seed=seed, name=scene_name)
+        if self.do_augmentations and self.cfg.augmentation:
+            from box2mask_tpu.datasets.augmentation import augment_scene
+            scene = augment_scene(scene, self.cfg)
+            # geometric augs move the GT boxes too: rederive from points
+            labels = synthetic.derive_labels(
+                scene['positions'], labels['semantics'], labels['instances'],
+                scene['segments'])
+        return scene, labels
 
 
 class ScanNet(SceneDataset):
