@@ -22,8 +22,13 @@ import jax.numpy as jnp
 from box2mask_tpu.postprocess import iou as I
 
 
-def nms_clustering_np(boxes, cluster_th=0.5, get_heatmaps=True):
-    """boxes: (N,7) [score, min, max]. Returns (reps, clusters, heatmaps)."""
+def nms_clustering_np(boxes, cluster_th=0.5, get_heatmaps=True,
+                      matrix_threshold=4000):
+    """boxes: (N,7) [score, min, max]. Returns (reps, clusters, heatmaps).
+
+    For N <= matrix_threshold all pairwise IoUs are computed once as a matrix
+    and the greedy loop runs on its rows (no per-iteration IoU recompute);
+    above it, rows are computed lazily to bound memory."""
     assert boxes.ndim == 2 and boxes.shape[1] == 7
     assert 0 < cluster_th < 1
     boxes = np.asarray(boxes, np.float64)
@@ -32,11 +37,20 @@ def nms_clustering_np(boxes, cluster_th=0.5, get_heatmaps=True):
         print('Warning: Invalid boxes found.')
     order = np.argsort(-boxes[:, 0], kind='stable')
     geo = boxes[:, 1:]
+    N = len(boxes)
+    iou_matrix = None
+    if N and N <= matrix_threshold:
+        imin = np.maximum(geo[:, None, :3], geo[None, :, :3])
+        imax = np.minimum(geo[:, None, 3:], geo[None, :, 3:])
+        inter = np.prod(np.clip(imax - imin, 0, None), axis=2)
+        vol = np.prod(geo[:, 3:] - geo[:, :3], axis=1)
+        iou_matrix = inter / (vol[:, None] + vol[None, :] - inter + I.EPS)
     reps, clusters, heatmaps = [], [], []
     remaining = order
     while len(remaining):
         top = remaining[0]
-        row = I.one_vs_all_ious_np(geo[top], geo)
+        row = (iou_matrix[top].copy() if iou_matrix is not None
+               else I.one_vs_all_ious_np(geo[top], geo))
         row[top] = 1.0
         ious = row[remaining]
         keep = ious <= cluster_th
