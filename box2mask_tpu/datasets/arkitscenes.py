@@ -33,7 +33,7 @@ NAME2ID.update({'wall': 1, 'floor': 2, 'door': 8, 'window': 9, 'bookshelf': 10,
                 'shower curtain': 28, 'otherfurn': 39, 'unlabeled': 0})
 
 
-def read_scene(path_ply, cfg):
+def read_scene(path_ply, cfg, rng=np.random):
     """Positions/normals/colors (color augs only — the reference disables the
     geometric mesh augs for ARKit and augments points+boxes jointly later)."""
     positions, colors, faces = read_mesh(path_ply)
@@ -42,20 +42,22 @@ def read_scene(path_ply, cfg):
     if colors is None:
         colors = np.zeros_like(positions)
     if cfg.augmentation:
-        if np.random.rand() < cfg.chromatic_auto_contrast:
-            colors = aug.chromatic_auto_contrast(colors)
-        if np.random.rand() < cfg.chromatic_translation[0]:
+        if rng.rand() < cfg.chromatic_auto_contrast:
+            colors = aug.chromatic_auto_contrast(colors, rng=rng)
+        if rng.rand() < cfg.chromatic_translation[0]:
             colors = aug.chromatic_translation(colors,
-                                               cfg.chromatic_translation[1])
-        if np.random.rand() < cfg.color_jittering_aug[0]:
+                                               cfg.chromatic_translation[1],
+                                               rng=rng)
+        if rng.rand() < cfg.color_jittering_aug[0]:
             colors = aug.color_jittering(colors, -cfg.color_jittering_aug[1],
-                                         cfg.color_jittering_aug[1])
-        if np.random.rand() < cfg.random_brightness[0]:
-            colors = aug.random_brightness(colors, cfg.random_brightness[1])
+                                         cfg.color_jittering_aug[1], rng=rng)
+        if rng.rand() < cfg.random_brightness[0]:
+            colors = aug.random_brightness(colors, cfg.random_brightness[1],
+                                           rng=rng)
         if cfg.mix_3d_color_aug:
-            colors = aug.apply_mix3d_color_aug(colors)
+            colors = aug.apply_mix3d_color_aug(colors, rng=rng)
         if cfg.apply_hue_aug:
-            colors = aug.apply_hue_aug(colors)
+            colors = aug.apply_hue_aug(colors, rng=rng)
     return positions, normals, colors
 
 
@@ -85,7 +87,7 @@ def read_bounding_box_annotations(annotations_file, axis_aligned_bb=False):
 
 
 def process_scene(scene_name, mode, cfg, do_augmentations=False,
-                  subsample_rate=10):
+                  subsample_rate=10, rng=np.random):
     if mode == 'train':
         data_path = os.path.join(cfg.data_dir, '3dod/Training')
         seg_path = os.path.join(cfg.data_dir, '3dod/segmented_train_clean',
@@ -112,7 +114,7 @@ def process_scene(scene_name, mode, cfg, do_augmentations=False,
     path_ann = os.path.join(data_path, scene_name,
                             f'{scene_name}_3dod_annotation.json')
 
-    positions, normals, colors = read_scene(path_ply, cfg)
+    positions, normals, colors = read_scene(path_ply, cfg, rng=rng)
     with open(seg_path) as f:
         segments = np.asarray(json.load(f)['segIndices'], np.int32)
 
@@ -136,11 +138,11 @@ def process_scene(scene_name, mode, cfg, do_augmentations=False,
     centers[:, 2] -= tz
 
     if cfg.augmentation and do_augmentations:
-        if np.random.rand() < cfg.rotation_aug[0]:
+        if rng.rand() < cfg.rotation_aug[0]:
             ip, mx = cfg.rotation_aug[2], cfg.rotation_aug[1]
-            rz = np.random.uniform(0, 2 * np.pi) if np.random.rand() < ip else 0
-            rx = np.random.uniform(-mx, mx) if np.random.rand() < ip else 0
-            ry = np.random.uniform(-mx, mx) if np.random.rand() < ip else 0
+            rz = rng.uniform(0, 2 * np.pi) if rng.rand() < ip else 0
+            rx = rng.uniform(-mx, mx) if rng.rand() < ip else 0
+            ry = rng.uniform(-mx, mx) if rng.rand() < ip else 0
             # scipy R.from_euler('xyz') == Rz @ Ry @ Rx (extrinsic xyz)
             Rm = (aug.rotation_matrix_xyz(0, 0, rz)
                   @ aug.rotation_matrix_xyz(0, ry, 0)
@@ -150,11 +152,11 @@ def process_scene(scene_name, mode, cfg, do_augmentations=False,
             centers = centers @ Rm.T
             for i in range(len(rotations)):
                 rotations[i] = (Rm.T @ rotations[i].reshape(3, 3)).reshape(9)
-        if np.random.rand() < cfg.position_jittering[0]:
+        if rng.rand() < cfg.position_jittering[0]:
             scene['positions'] = aug.position_jitter(
-                scene['positions'], cfg.position_jittering[1])
-        if np.random.rand() < cfg.scaling_aug[0]:
-            s = np.random.uniform(cfg.scaling_aug[1], cfg.scaling_aug[2])
+                scene['positions'], cfg.position_jittering[1], rng=rng)
+        if rng.rand() < cfg.scaling_aug[0]:
+            s = rng.uniform(cfg.scaling_aug[1], cfg.scaling_aug[2])
             scene['positions'] *= s
             centers *= s
             bounds *= s

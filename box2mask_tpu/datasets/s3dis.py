@@ -64,7 +64,8 @@ def seg2label(segments, label_ids):
     return lut[segments], lut
 
 
-def read_scene_from_numpy(scene_name, cfg, do_augmentations=False):
+def read_scene_from_numpy(scene_name, cfg, do_augmentations=False,
+                          rng=np.random):
     area, room = scene_name.split('.', 1)
     npy_path = os.path.join(cfg.data_dir, area, room + '.normals.instance.npy')
     data = np.load(npy_path)
@@ -78,58 +79,62 @@ def read_scene_from_numpy(scene_name, cfg, do_augmentations=False):
     positions[:, 2] -= positions[:, 2].min()
 
     if cfg.augmentation and do_augmentations:
-        if np.random.rand() < cfg.rotation_aug[0]:
+        if rng.rand() < cfg.rotation_aug[0]:
             R = None
             center = positions.mean(0)
-            rz = np.random.uniform(0, 2 * np.pi)
-            rx = np.random.uniform(-np.pi / 100, np.pi / 100)
-            ry = np.random.uniform(-np.pi / 100, np.pi / 100)
+            rz = rng.uniform(0, 2 * np.pi)
+            rx = rng.uniform(-np.pi / 100, np.pi / 100)
+            ry = rng.uniform(-np.pi / 100, np.pi / 100)
             R = aug.rotation_matrix_xyz(rx, ry, rz)
             positions = (positions - center) @ R.T + center
             normals = normals @ R.T
-        if np.random.rand() < cfg.scaling_aug[0]:
+        if rng.rand() < cfg.scaling_aug[0]:
             positions = aug.scale_points(positions, cfg.scaling_aug[1],
-                                         cfg.scaling_aug[2])
+                                         cfg.scaling_aug[2], rng=rng)
         if cfg.rotation_90_aug:
-            positions = aug.rotate_points_90(positions)
-        if np.random.rand() < cfg.flipping_aug:
+            positions = aug.rotate_points_90(positions, rng=rng)
+        if rng.rand() < cfg.flipping_aug:
             positions = aug.flip_x(positions)
-        if np.random.rand() < cfg.flipping_aug:
+        if rng.rand() < cfg.flipping_aug:
             positions = positions.copy()
             positions[:, 1] *= -1
-        if np.random.rand() < cfg.elastic_distortion:
+        if rng.rand() < cfg.elastic_distortion:
             for granularity, magnitude in aug.SCANNET_ELASTIC_DISTORT_PARAMS:
                 positions = aug.elastic_distortion(positions, granularity,
-                                                   magnitude)
-        if np.random.rand() < cfg.elastic_distortion_HAIS:
+                                                   magnitude, rng=rng)
+        if rng.rand() < cfg.elastic_distortion_HAIS:
             positions = positions - positions.mean(0)
             positions = aug.hais_elastic(positions,
                                          6 * (1 / cfg.voxel_size) // 50,
-                                         40 * (1 / cfg.voxel_size) / 50)
+                                         40 * (1 / cfg.voxel_size) / 50,
+                                         rng=rng)
             positions = aug.hais_elastic(positions,
                                          20 * (1 / cfg.voxel_size) // 50,
-                                         160 * (1 / cfg.voxel_size) / 50)
+                                         160 * (1 / cfg.voxel_size) / 50,
+                                         rng=rng)
             positions = positions - positions.mean(0)
             positions[:, 2] -= positions[:, 2].min()
-        if np.random.rand() < cfg.position_jittering[0]:
+        if rng.rand() < cfg.position_jittering[0]:
             positions = aug.position_jitter(positions,
-                                            cfg.position_jittering[1])
+                                            cfg.position_jittering[1], rng=rng)
         if cfg.HAIS_jitter_aug:
-            positions = aug.hais_jitter(positions)
+            positions = aug.hais_jitter(positions, rng=rng)
             positions[:, 2] -= positions[:, 2].min()
 
-        if np.random.rand() < cfg.chromatic_auto_contrast:
-            colors = aug.chromatic_auto_contrast(colors)
-        if np.random.rand() < cfg.chromatic_translation[0]:
+        if rng.rand() < cfg.chromatic_auto_contrast:
+            colors = aug.chromatic_auto_contrast(colors, rng=rng)
+        if rng.rand() < cfg.chromatic_translation[0]:
             colors = aug.chromatic_translation(colors,
-                                               cfg.chromatic_translation[1])
-        if np.random.rand() < cfg.color_jittering_aug[0]:
+                                               cfg.chromatic_translation[1],
+                                               rng=rng)
+        if rng.rand() < cfg.color_jittering_aug[0]:
             colors = aug.color_jittering(colors, -cfg.color_jittering_aug[1],
-                                         cfg.color_jittering_aug[1])
-        if np.random.rand() < cfg.random_brightness[0]:
-            colors = aug.random_brightness(colors, cfg.random_brightness[1])
+                                         cfg.color_jittering_aug[1], rng=rng)
+        if rng.rand() < cfg.random_brightness[0]:
+            colors = aug.random_brightness(colors, cfg.random_brightness[1],
+                                           rng=rng)
         if cfg.apply_hue_aug:
-            colors = aug.apply_hue_aug(colors)
+            colors = aug.apply_hue_aug(colors, rng=rng)
 
     # learned-superpoint oversegmentation + its label/instance LUTs
     seg_dir = os.path.join(cfg.data_dir, 'segment_labels',
@@ -147,8 +152,8 @@ def read_scene_from_numpy(scene_name, cfg, do_augmentations=False):
         if not do_augmentations:
             ids = np.arange(n)[::4]            # deterministic eval subsample
         else:
-            ids = np.random.choice(n, int(n * cfg.point_sampling_rate),
-                                   replace=False)
+            ids = rng.choice(n, int(n * cfg.point_sampling_rate),
+                             replace=False)
         mask = np.zeros(n, bool)
         mask[ids] = True
         segments = segments[mask]
@@ -168,9 +173,11 @@ def read_scene_from_numpy(scene_name, cfg, do_augmentations=False):
     return scene, labels
 
 
-def process_scene(scene_name, mode, cfg, do_augmentations=False):
+def process_scene(scene_name, mode, cfg, do_augmentations=False,
+                  rng=np.random):
     scene, labels = read_scene_from_numpy(scene_name, cfg,
-                                          do_augmentations=do_augmentations)
+                                          do_augmentations=do_augmentations,
+                                          rng=rng)
     centers, center_distances = compute_avg_centers(scene['positions'],
                                                     labels['instances'])
     (bb_centers, bb_offsets, bb_bounds, bb_dist, bb_radius, unique_instances,

@@ -41,43 +41,47 @@ def _apply_transform(positions, Rt):
 
 
 def read_scene(path_ply, path_txt, cfg, align=False, do_augmentations=False,
-               rotate_z=None):
+               rotate_z=None, rng=np.random):
     """-> (positions, normals, colors) with augmentations applied.
     Geometric augs act on the mesh vertices BEFORE normal computation
-    (reference scannet.py:162-217)."""
+    (reference scannet.py:162-217). `rng` is a per-scene RandomState stream
+    (datasets/loader.py scene_rng) so parallel workers never race a global
+    RNG — the analog of the reference's per-worker reseeding
+    (models/dataloader.py:324-332)."""
     positions, colors, faces = read_mesh(path_ply)
     if align:
         positions = _apply_transform(positions, read_axis_alignment(path_txt))
 
     if do_augmentations and cfg.augmentation:
-        if np.random.rand() < cfg.rotation_aug[0]:
+        if rng.rand() < cfg.rotation_aug[0]:
             positions = aug.rotate_points(positions,
                                           max_xy_angle=cfg.rotation_aug[1],
-                                          individual_prob=cfg.rotation_aug[2])
+                                          individual_prob=cfg.rotation_aug[2],
+                                          rng=rng)
         if cfg.rotation_90_aug:
-            positions = aug.rotate_points_90(positions)
-        if np.random.rand() < cfg.flipping_aug:
+            positions = aug.rotate_points_90(positions, rng=rng)
+        if rng.rand() < cfg.flipping_aug:
             positions = aug.flip_x(positions)
         if cfg.HAIS_jitter_aug:
-            positions = aug.hais_jitter(positions)
-        if np.random.rand() < cfg.elastic_distortion:
+            positions = aug.hais_jitter(positions, rng=rng)
+        if rng.rand() < cfg.elastic_distortion:
             for granularity, magnitude in aug.SCANNET_ELASTIC_DISTORT_PARAMS:
                 positions = aug.elastic_distortion(positions, granularity,
-                                                   magnitude)
-        if np.random.rand() < cfg.elastic_distortion_HAIS:
+                                                   magnitude, rng=rng)
+        if rng.rand() < cfg.elastic_distortion_HAIS:
             positions = aug.hais_elastic(
                 positions, 6 * (1 / cfg.voxel_size) // 50,
-                40 * (1 / cfg.voxel_size) / 50)
+                40 * (1 / cfg.voxel_size) / 50, rng=rng)
             positions = aug.hais_elastic(
                 positions, 20 * (1 / cfg.voxel_size) // 50,
-                160 * (1 / cfg.voxel_size) / 50)
+                160 * (1 / cfg.voxel_size) / 50, rng=rng)
             positions = positions - positions.min(0)
-        if np.random.rand() < cfg.position_jittering[0]:
+        if rng.rand() < cfg.position_jittering[0]:
             positions = aug.position_jitter(positions,
-                                            cfg.position_jittering[1])
-        if np.random.rand() < cfg.scaling_aug[0]:
+                                            cfg.position_jittering[1], rng=rng)
+        if rng.rand() < cfg.scaling_aug[0]:
             positions = aug.scale_points(positions, cfg.scaling_aug[1],
-                                         cfg.scaling_aug[2])
+                                         cfg.scaling_aug[2], rng=rng)
     elif rotate_z:
         positions = aug.rotate_about_center(
             positions, aug.rotation_matrix_xyz(0, 0, rotate_z / 2))
@@ -88,20 +92,22 @@ def read_scene(path_ply, path_txt, cfg, align=False, do_augmentations=False,
     if colors is None:
         colors = np.zeros_like(positions)
     if do_augmentations and cfg.augmentation:
-        if np.random.rand() < cfg.chromatic_auto_contrast:
-            colors = aug.chromatic_auto_contrast(colors)
-        if np.random.rand() < cfg.chromatic_translation[0]:
+        if rng.rand() < cfg.chromatic_auto_contrast:
+            colors = aug.chromatic_auto_contrast(colors, rng=rng)
+        if rng.rand() < cfg.chromatic_translation[0]:
             colors = aug.chromatic_translation(colors,
-                                               cfg.chromatic_translation[1])
-        if np.random.rand() < cfg.color_jittering_aug[0]:
+                                               cfg.chromatic_translation[1],
+                                               rng=rng)
+        if rng.rand() < cfg.color_jittering_aug[0]:
             colors = aug.color_jittering(colors, -cfg.color_jittering_aug[1],
-                                         cfg.color_jittering_aug[1])
-        if np.random.rand() < cfg.random_brightness[0]:
-            colors = aug.random_brightness(colors, cfg.random_brightness[1])
+                                         cfg.color_jittering_aug[1], rng=rng)
+        if rng.rand() < cfg.random_brightness[0]:
+            colors = aug.random_brightness(colors, cfg.random_brightness[1],
+                                           rng=rng)
         if cfg.mix_3d_color_aug:
-            colors = aug.apply_mix3d_color_aug(colors)
+            colors = aug.apply_mix3d_color_aug(colors, rng=rng)
         if cfg.apply_hue_aug:
-            colors = aug.apply_hue_aug(colors)
+            colors = aug.apply_hue_aug(colors, rng=rng)
     return positions, normals, colors
 
 
@@ -197,7 +203,8 @@ def compute_bounding_box(positions, instance_labels, semantic_labels):
             radius_i)
 
 
-def process_scene(scene_name, mode, cfg, do_augmentations=False, rotate_z=None):
+def process_scene(scene_name, mode, cfg, do_augmentations=False, rotate_z=None,
+                  rng=np.random):
     """-> (scene, labels) dicts; the contract every downstream stage consumes
     (reference scannet.py:369-439)."""
     align = cfg.align
@@ -222,7 +229,7 @@ def process_scene(scene_name, mode, cfg, do_augmentations=False, rotate_z=None):
 
     positions, normals, colors = read_scene(
         path_ply, path_txt, cfg, align=align,
-        do_augmentations=do_augmentations, rotate_z=rotate_z)
+        do_augmentations=do_augmentations, rotate_z=rotate_z, rng=rng)
     with open(path_seg) as f:
         segments = np.asarray(json.load(f)['segIndices'], np.int32)
 
