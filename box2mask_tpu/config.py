@@ -62,6 +62,12 @@ def config_parser():
     add('--ignore_ceiling_floor', default=False, action='store_true')
     add('--full_resolution', default=False, action='store_true')
 
+    # synthetic dataset scale (dataset-free runs / tests / dryruns)
+    add('--synthetic_instances', type=int, default=8)
+    add('--synthetic_points_per_instance', type=int, default=600)
+    add('--synthetic_floor_points', type=int, default=3000)
+    add('--synthetic_wall_points', type=int, default=2200)
+
     # bb supervision
     add('--bb_supervision', default=False, action='store_true')
     add('--point_association', default=False, action='store_true')
@@ -119,6 +125,13 @@ def config_parser():
     add('--ckpt_every', type=int, default=4)
     add('--train_submission', default=False, action='store_true')
     add('--loose_model_loading', default=False, action='store_true')
+    # mesh-visualization substitute for the reference's Poisson recon
+    # (utils/s3dis_util.py:19-51): voxel boundary surface meshes
+    add('--mesh_viz', default=False, action='store_true')
+    # back-compat head construction for old torch checkpoints
+    # (reference detection_net.py:142-166). Intentionally a no-op here: the
+    # torch->flax converter (scripts/convert_torch_ckpt.py) DROPS the dead
+    # final{0,1,2}* weights instead of materializing modules for them.
     add('--load_unused_head', default=False, action='store_true')
     add('--apple_warmstart', default=False, action='store_true')
     add('--batch_size', type=int, default=4)

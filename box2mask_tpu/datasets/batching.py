@@ -45,25 +45,42 @@ def _device_maps_ok(rets, cfg):
     if getattr(cfg, 'host_coordinate_maps', False):
         return False
     from box2mask_tpu.sparse.device_maps import AXIS_MAX
-    return all(r['vox_coords'].max() < AXIS_MAX and r['vox_coords'].min() >= 0
-               for r in rets)
+    ok = all(r['vox_coords'].max() < AXIS_MAX and r['vox_coords'].min() >= 0
+             for r in rets)
+    if not ok:
+        # 10-bit/axis key packing limit: ~20m @ 2cm voxels (~40m @ 4cm).
+        # The host-maps layout is a ~10x slower path — make the cliff loud.
+        import warnings
+        worst = max(int(r['vox_coords'].max()) for r in rets)
+        warnings.warn(
+            f'scene exceeds the {AXIS_MAX}-voxel/axis device-map packing '
+            f'(max coord {worst}); falling back to host-built neighbor maps '
+            f'(slow). Consider a larger --voxel_size or --subsample_rate.',
+            RuntimeWarning, stacklevel=3)
+    return ok
 
 
 def build_batch(rets, cfg, sem_id2idx, mode='train', pyramids=None,
-                device_maps=None):
+                device_maps=None, level_pads=None, seg_pad=None):
     """rets: list of per-scene dicts from voxelize_scene (+ supervision).
 
     Two layouts (DESIGN.md):
       * host maps (device_maps=False): scenes concatenated, padding at the tail,
         full neighbor maps built on host (sparse/coords.py),
-      * device maps (default): batch carries only per-scene padded coords
-        ('coords0_b') + interleaved-per-scene voxel arrays; the pyramid/maps are
-        built on-device inside the jitted step (sparse/device_maps.py).
+      * device maps (default): batch carries the per-scene per-level packed
+        key pyramids ('keys{l}_b', host-sorted uniques) + interleaved voxel
+        arrays; every conv neighbor map is built on-device inside the jitted
+        step with pure lookups (sparse/device_maps.py).
+
+    `level_pads` / `seg_pad` force the padded sizes of the device-maps layout —
+    the multi-shard loader passes common maxima so per-device batches stack
+    without any sentinel rewriting (collate_device_batches).
     """
     if device_maps is None:
         device_maps = pyramids is None and _device_maps_ok(rets, cfg)
     if device_maps:
-        return _build_batch_small(rets, cfg, sem_id2idx, mode)
+        return _build_batch_small(rets, cfg, sem_id2idx, mode,
+                                  level_pads=level_pads, seg_pad=seg_pad)
     if pyramids is None:
         pyramids = [C.build_scene_pyramid(r['vox_coords']) for r in rets]
     dev = C.batch_pyramids(pyramids, vox_bucket=cfg.vox_bucket)
@@ -131,27 +148,40 @@ def build_batch(rets, cfg, sem_id2idx, mode='train', pyramids=None,
     return dev, host
 
 
-def _build_batch_small(rets, cfg, sem_id2idx, mode):
-    """Device-maps batch: per-scene padded coords + interleaved voxel arrays.
+def _build_batch_small(rets, cfg, sem_id2idx, mode, level_pads=None,
+                       seg_pad=None):
+    """Device-maps batch: per-scene per-level key pyramids + interleaved
+    voxel arrays.
 
     Voxel-axis arrays use the `B*Vs` interleaved layout (scene i rows at
-    [i*Vs, i*Vs+n_i)); per-level pads travel as zero-byte-ish `levelpad{l}`
-    placeholder arrays whose static shapes parameterize the on-device builder.
+    [i*Vs, i*Vs+n_i)); the 'keys{l}_b' static shapes parameterize the
+    on-device map builder.
     """
-    from box2mask_tpu.sparse.device_maps import (level_pads_for_scenes,
+    from box2mask_tpu.sparse.device_maps import (host_level_keys, SENT_KEY,
                                                  NUM_LEVELS)
+    from box2mask_tpu.sparse.coords import round_up
     B = len(rets)
-    pads = level_pads_for_scenes([r['vox_coords'] for r in rets],
-                                 vox_bucket=cfg.vox_bucket)
+    # per-scene per-level key pyramids on the host (~5ms/scene in the
+    # prefetch threads) so the device map build is pure lookups — no sorts
+    keys_per_scene = [host_level_keys(r['vox_coords']) for r in rets]
+    if level_pads is not None:
+        pads = level_pads
+    else:
+        pads = []
+        for l in range(NUM_LEVELS):
+            count = max(len(ks[l]) for ks in keys_per_scene)
+            bucket = max(512, cfg.vox_bucket >> l)
+            pads.append(max(round_up(count, bucket), bucket))
+        pads = tuple(pads)
     Vs = pads[0]
     ns = [len(r['vox_coords']) for r in rets]
     dev = {}
-    coords_b = np.full((B, Vs, 3), -1, np.int32)
-    for i, r in enumerate(rets):
-        coords_b[i, :ns[i]] = r['vox_coords']
-    dev['coords0_b'] = coords_b
+    sent = int(SENT_KEY)
     for l in range(NUM_LEVELS):
-        dev[f'levelpad{l}'] = np.zeros(pads[l], np.bool_)
+        kb = np.full((B, pads[l]), sent, np.int32)
+        for i, ks in enumerate(keys_per_scene):
+            kb[i, :len(ks[l])] = ks[l]
+        dev[f'keys{l}_b'] = kb
 
     def interleave(key, ncols=None, fill=0, dtype=None):
         a0 = np.asarray(rets[0][key])
@@ -174,7 +204,8 @@ def _build_batch_small(rets, cfg, sem_id2idx, mode):
     if cfg.do_segment_pooling:
         seg_sizes = [len(r['input_location']) for r in rets]
         S_total = sum(seg_sizes)
-        S_pad = max(C.round_up(S_total, cfg.seg_bucket), cfg.seg_bucket)
+        S_pad = seg_pad if seg_pad is not None else max(
+            C.round_up(S_total, cfg.seg_bucket), cfg.seg_bucket)
         seg_off = np.concatenate([[0], np.cumsum(seg_sizes)])
         pooling = np.full((B, Vs), S_pad, np.int32)
         for i, r in enumerate(rets):
@@ -282,8 +313,21 @@ def repad_batch(dev, target_sizes, num_levels=8):
 
 
 def collate_device_batches(batches, num_levels=8):
-    """Stack D per-device batches into leading-axis-D arrays (equal shapes via
-    repad_batch to the per-axis maxima)."""
+    """Stack D per-device batches into leading-axis-D arrays.
+
+    Device-maps batches (carrying 'keys0_b') must already share shapes —
+    the loader builds them with forced common level/segment pads — so they
+    stack directly. Host-maps batches are first repadded to the per-axis
+    maxima (sentinel rewrite in repad_batch)."""
+    if 'keys0_b' in batches[0]:
+        for k in batches[0]:
+            shapes = {np.asarray(b[k]).shape for b in batches}
+            if len(shapes) != 1:
+                raise ValueError(
+                    f'device-maps shards disagree on {k!r} shape {shapes}; '
+                    'build them with common level_pads/seg_pad')
+        return {k: np.stack([np.asarray(b[k]) for b in batches])
+                for k in batches[0]}
     axes = [f'L{l}' for l in range(num_levels)] + ['S']
     target = {a: max(b['coords' + a[1:]].shape[0] if a.startswith('L')
                      else b['seg_valid'].shape[0] for b in batches) for a in axes}

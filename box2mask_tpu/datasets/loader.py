@@ -25,6 +25,20 @@ from box2mask_tpu.datasets.batching import build_batch
 from box2mask_tpu.datasets.tables import get_tables
 
 
+def scene_rng(cfg, scene_name, epoch=0):
+    """Per-scene RandomState stream: deterministic under --fixed_seed (varying
+    with scene name + epoch so TTA eval and training epochs differ), fresh
+    OS-entropy otherwise. Replaces the reference's per-worker process
+    reseeding (models/dataloader.py:324-332) — with thread workers a global
+    RNG would race, so every scene gets its own legacy-API stream."""
+    if cfg.fixed_seed is None:
+        return np.random.RandomState()
+    h = np.uint32(cfg.fixed_seed)
+    for c in f'{scene_name}|{epoch}':
+        h = np.uint32(h * np.uint32(31) + np.uint32(ord(c)))
+    return np.random.RandomState(int(h))
+
+
 class SceneDataset:
     """Base: data_list + process_scene -> voxelized+supervised ret dict."""
 
@@ -33,6 +47,7 @@ class SceneDataset:
     def __init__(self, mode, cfg, do_augmentations=True):
         self.mode = mode
         self.cfg = cfg
+        self.epoch = 0
         self.do_augmentations = do_augmentations
         self.data_list = self._build_data_list(mode, cfg)
         # debug/overfit harness (reference models/dataloader.py:41-48)
@@ -51,7 +66,7 @@ class SceneDataset:
     def _build_data_list(self, mode, cfg):
         raise NotImplementedError
 
-    def read_scene(self, scene_name):
+    def read_scene(self, scene_name, rng=np.random):
         """-> (scene, labels) dicts."""
         raise NotImplementedError
 
@@ -60,7 +75,8 @@ class SceneDataset:
 
     def __getitem__(self, idx):
         scene_name = self.data_list[idx]
-        scene, labels = self.read_scene(scene_name)
+        rng = scene_rng(self.cfg, scene_name, self.epoch)
+        scene, labels = self.read_scene(scene_name, rng=rng)
         ret = voxelize_scene(scene, self.cfg)
         if self.mode == 'test' or labels is None:
             return ret
@@ -90,12 +106,18 @@ class Synthetic(SceneDataset):
             mode.split('+')[0], 0)
         return [f'synth{base + i:05d}_00' for i in range(n)]
 
-    def read_scene(self, scene_name):
+    def read_scene(self, scene_name, rng=np.random):
         seed = int(scene_name[5:10])
-        scene, labels = synthetic.make_scene(seed=seed, name=scene_name)
+        cfg = self.cfg
+        scene, labels = synthetic.make_scene(
+            seed=seed, name=scene_name,
+            num_instances=cfg.synthetic_instances,
+            points_per_instance=cfg.synthetic_points_per_instance,
+            floor_points=cfg.synthetic_floor_points,
+            wall_points=cfg.synthetic_wall_points)
         if self.do_augmentations and self.cfg.augmentation:
             from box2mask_tpu.datasets.augmentation import augment_scene
-            scene = augment_scene(scene, self.cfg)
+            scene = augment_scene(scene, self.cfg, rng=rng)
             # geometric augs move the GT boxes too: rederive from points
             labels = synthetic.derive_labels(
                 scene['positions'], labels['semantics'], labels['instances'],
@@ -114,10 +136,11 @@ class ScanNet(SceneDataset):
             return np.concatenate((d['train'], d['val']))
         return np.load(cfg.data_split, allow_pickle=True)[mode]
 
-    def read_scene(self, scene_name):
+    def read_scene(self, scene_name, rng=np.random):
         from box2mask_tpu.datasets import scannet
         return scannet.process_scene(scene_name, self.mode, self.cfg,
-                                     do_augmentations=self.do_augmentations)
+                                     do_augmentations=self.do_augmentations,
+                                     rng=rng)
 
 
 class ARKitScenes(SceneDataset):
@@ -131,12 +154,12 @@ class ARKitScenes(SceneDataset):
                  if f.startswith('4')]
         return np.array(files)
 
-    def read_scene(self, scene_name):
+    def read_scene(self, scene_name, rng=np.random):
         from box2mask_tpu.datasets import arkitscenes
         return arkitscenes.process_scene(
             scene_name, self.mode, self.cfg,
             do_augmentations=self.do_augmentations,
-            subsample_rate=self.cfg.subsample_rate)
+            subsample_rate=self.cfg.subsample_rate, rng=rng)
 
 
 class S3DIS(SceneDataset):
@@ -148,10 +171,11 @@ class S3DIS(SceneDataset):
         from box2mask_tpu.datasets import s3dis
         return s3dis.get_scene_names(mode, cfg)
 
-    def read_scene(self, scene_name):
+    def read_scene(self, scene_name, rng=np.random):
         from box2mask_tpu.datasets import s3dis
         return s3dis.process_scene(scene_name, self.mode, self.cfg,
-                                   do_augmentations=self.do_augmentations)
+                                   do_augmentations=self.do_augmentations,
+                                   rng=rng)
 
 
 DATASETS = {'scannet': ScanNet, 'arkitscenes': ARKitScenes, 's3dis': S3DIS,
@@ -179,15 +203,15 @@ class BatchLoader:
         self.num_shards = num_shards
         self.seed = seed
         self.epoch = 0
-        # under a fixed seed, scene building must be sequential: augmentation
-        # uses the global NumPy RNG and threads would race it (the reference
-        # gets determinism from per-worker process seeds, dataloader.py:324)
-        workers = 1 if cfg.fixed_seed else max(1, min(
-            cfg.num_workers, batch_size * num_shards))
+        # per-scene RandomState streams (scene_rng) make augmentation
+        # deterministic under --fixed_seed regardless of worker count/order,
+        # so data prep parallelizes even for seeded TTA eval
+        workers = max(1, min(cfg.num_workers, batch_size * num_shards))
         self._pool = ThreadPoolExecutor(max_workers=workers)
 
     def set_epoch(self, epoch):
         self.epoch = epoch
+        self.dataset.epoch = epoch
 
     def __len__(self):
         n = len(self.dataset) // (self.batch_size * self.num_shards)
@@ -206,18 +230,33 @@ class BatchLoader:
 
     def _build(self, indices):
         rets = list(self._pool.map(self.dataset.__getitem__, indices))
-        per_shard = len(indices) // self.num_shards if self.num_shards > 1 else None
         if self.num_shards == 1:
             return build_batch(rets, self.cfg, self.dataset.sem_id2idx,
                                mode=self.dataset.mode)
-        # multi-device shards are stacked later -> need the host-maps layout
-        # (collate_device_batches sentinel rewrite); device-maps collation TBD
-        shards = [
-            build_batch(rets[i * per_shard:(i + 1) * per_shard], self.cfg,
-                        self.dataset.sem_id2idx, mode=self.dataset.mode,
-                        device_maps=False)
-            for i in range(self.num_shards)]
-        return shards
+        per_shard = len(indices) // self.num_shards
+        chunks = [rets[i * per_shard:(i + 1) * per_shard]
+                  for i in range(self.num_shards)]
+        from box2mask_tpu.datasets.batching import _device_maps_ok
+        if _device_maps_ok(rets, self.cfg):
+            # fast layout: all shards built at common pads so they stack
+            # directly (collate_device_batches) with identical sentinels
+            from box2mask_tpu.sparse.device_maps import level_pads_for_scenes
+            from box2mask_tpu.sparse.coords import round_up
+            level_pads = level_pads_for_scenes(
+                [r['vox_coords'] for r in rets], vox_bucket=self.cfg.vox_bucket)
+            seg_pad = None
+            if self.cfg.do_segment_pooling:
+                seg_pad = max(
+                    max(round_up(sum(len(r['input_location']) for r in ch),
+                                 self.cfg.seg_bucket) for ch in chunks),
+                    self.cfg.seg_bucket)
+            return [build_batch(ch, self.cfg, self.dataset.sem_id2idx,
+                                mode=self.dataset.mode, device_maps=True,
+                                level_pads=level_pads, seg_pad=seg_pad)
+                    for ch in chunks]
+        return [build_batch(ch, self.cfg, self.dataset.sem_id2idx,
+                            mode=self.dataset.mode, device_maps=False)
+                for ch in chunks]
 
     def __iter__(self):
         order = self._order()

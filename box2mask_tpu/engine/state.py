@@ -28,15 +28,16 @@ class TrainState(NamedTuple):
 
 
 def ensure_maps(batch):
-    """If the batch is a device-maps batch (carries 'coords0_b' instead of
-    neighbor maps), build the full coordinate pyramid on-device
-    (sparse/device_maps.py). Works inside jit — pad sizes come from the static
-    shapes of the levelpad placeholders. Host-provided keys win on collision."""
-    if 'coords0_b' not in batch:
+    """If the batch is a device-maps batch (carries per-level 'keys{l}_b'
+    pyramids instead of neighbor maps), build every conv neighbor map
+    on-device (sparse/device_maps.py). Works inside jit — pad sizes come from
+    the static key-array shapes. Host-provided valid0/batch0/num0 win on
+    collision."""
+    if 'keys0_b' not in batch:
         return batch
     from box2mask_tpu.sparse import device_maps as DM
-    pads = tuple(batch[f'levelpad{l}'].shape[0] for l in range(DM.NUM_LEVELS))
-    maps = DM.build_batch_maps(batch['coords0_b'], pads)
+    keys_b = tuple(batch[f'keys{l}_b'] for l in range(DM.NUM_LEVELS))
+    maps = DM.build_batch_maps_from_keys(keys_b)
     merged = dict(maps)
     merged.update(batch)          # host valid0/batch0/num0 take precedence
     return merged

@@ -30,7 +30,10 @@ import jax.numpy as jnp
 NUM_LEVELS = 8
 AXIS_BITS = 10
 AXIS_MAX = 1 << AXIS_BITS            # 1024
-SENT_KEY = jnp.int32(1 << 30)        # > any packed key
+# plain int (NOT a jnp scalar): a device constant here would trigger TPU
+# backend init at import / host readbacks in the data-prep threads — on a
+# tunneled backend that costs minutes on first touch
+SENT_KEY = 1 << 30                   # > any packed key, fits int32
 
 
 def pack_keys(coords):
@@ -166,27 +169,18 @@ def _subkernel_columns(big, small, step):
                      for o in np.asarray(_offsets(small, step))])
 
 
-def build_scene_maps(keys0_raw, level_pads, stem_kernel=5):
-    """All per-scene maps from raw (SENT-padded, host-sorted) finest-level
-    keys. `level_pads` is a static tuple of 8 ints. Local index convention:
-    missing == level_pads[in_level].
+def maps_from_level_keys(keys, stem_kernel=5):
+    """All per-scene maps from the ready 8-level key pyramid (each level
+    sorted-ascending real keys then SENT_KEY padding). Local index convention:
+    missing == pad size of the input level.
 
-    Query-avoidance tricks: (a) level-0 arrives sorted from the host -> skip
-    the (slow) device sort; (b) the 3^3 map at level 0 is a column subset of
-    the 5^3 stem map (same in/out keys) -> free; (c) up_parent is the inverse
+    Query-avoidance tricks: (a) the 3^3 map at level 0 is a column subset of
+    the 5^3 stem map (same in/out keys) -> free; (b) up_parent is the inverse
     of the down map -> one scatter instead of a binary search per level."""
     out = {}
-    keys = []
-    k0, n0 = unique_sorted(keys0_raw, level_pads[0], pre_sorted=True)
-    keys.append(k0)
-    out['num0'] = n0
-    for l in range(1, NUM_LEVELS):
-        floored = jnp.where(keys[l - 1] < SENT_KEY,
-                            keys[l - 1] & level_floor_mask(l), SENT_KEY)
-        kl, nl = unique_sorted(floored, level_pads[l])
-        keys.append(kl)
-        out[f'num{l}'] = nl
+    level_pads = tuple(k.shape[0] for k in keys)
     for l in range(NUM_LEVELS):
+        out[f'num{l}'] = jnp.sum(keys[l] < SENT_KEY).astype(jnp.int32)
         out[f'valid{l}'] = keys[l] < SENT_KEY
         x, y, z = unpack_keys(jnp.where(keys[l] < SENT_KEY, keys[l], 0))
         out[f'coords{l}'] = jnp.stack([x, y, z], axis=1)
@@ -216,18 +210,24 @@ def build_scene_maps(keys0_raw, level_pads, stem_kernel=5):
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def build_batch_maps(coords0_b, level_pads, stem_kernel=5):
-    """coords0_b: (B, Vs, 3) int32, padded rows marked by coords[...,0] < 0.
-    Returns the flattened global map dict (interleaved per-scene padding) with
-    the SparseBatch key convention of sparse/coords.batch_pyramids."""
-    B = coords0_b.shape[0]
-    valid_in = coords0_b[..., 0] >= 0
-    keys_raw = jnp.where(valid_in, pack_keys(jnp.maximum(coords0_b, 0)),
-                         SENT_KEY)
-    per_scene = jax.vmap(
-        lambda k: build_scene_maps(k, level_pads, stem_kernel))(keys_raw)
+def build_scene_maps(keys0_raw, level_pads, stem_kernel=5):
+    """All per-scene maps from raw (SENT-padded, host-sorted) finest-level
+    keys: derive the level pyramid with on-device uniques (one sort per
+    coarse level), then build the maps. Level-0 arrives sorted from the
+    host -> skip the (slow) device sort."""
+    keys = []
+    k0, _ = unique_sorted(keys0_raw, level_pads[0], pre_sorted=True)
+    keys.append(k0)
+    for l in range(1, NUM_LEVELS):
+        floored = jnp.where(keys[l - 1] < SENT_KEY,
+                            keys[l - 1] & level_floor_mask(l), SENT_KEY)
+        kl, _ = unique_sorted(floored, level_pads[l])
+        keys.append(kl)
+    return maps_from_level_keys(keys, stem_kernel)
 
+
+def _globalize_batch(per_scene, B, level_pads):
+    """Flatten vmapped per-scene maps to the interleaved global layout."""
     out = {}
     for l in range(NUM_LEVELS):
         pad = level_pads[l]
@@ -254,6 +254,49 @@ def build_batch_maps(coords0_b, level_pads, stem_kernel=5):
         out[f'up_parent{l}'] = globalize(per_scene[f'up_parent{l}'], l + 1)
         out[f'up_widx{l}'] = per_scene[f'up_widx{l}'].reshape(-1)
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def build_batch_maps(coords0_b, level_pads, stem_kernel=5):
+    """coords0_b: (B, Vs, 3) int32, padded rows marked by coords[...,0] < 0.
+    Returns the flattened global map dict (interleaved per-scene padding) with
+    the SparseBatch key convention of sparse/coords.batch_pyramids."""
+    B = coords0_b.shape[0]
+    valid_in = coords0_b[..., 0] >= 0
+    keys_raw = jnp.where(valid_in, pack_keys(jnp.maximum(coords0_b, 0)),
+                         SENT_KEY)
+    per_scene = jax.vmap(
+        lambda k: build_scene_maps(k, level_pads, stem_kernel))(keys_raw)
+    return _globalize_batch(per_scene, B, level_pads)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def build_batch_maps_from_keys(keys_b, stem_kernel=5):
+    """keys_b: tuple of 8 arrays (B, pad_l) int32 — per-scene sorted unique
+    packed keys per level, SENT_KEY-padded, computed on the host
+    (host_level_keys). Skips every device sort/unique: the map build becomes
+    pure sort-merge lookups (the ~115ms of per-level device sorts move to
+    ~5ms of np.unique in the prefetch threads)."""
+    B = keys_b[0].shape[0]
+    level_pads = tuple(k.shape[1] for k in keys_b)
+    per_scene = jax.vmap(lambda *ks: maps_from_level_keys(ks))(*keys_b)
+    return _globalize_batch(per_scene, B, level_pads)
+
+
+def host_level_keys(vox_coords):
+    """Host side: 8-level packed-key pyramid of one scene. `vox_coords` must
+    be lexicographically sorted unique int32 (np.unique(axis=0) order — what
+    voxelize_scene emits), all in [0, AXIS_MAX). Returns a list of 8 ascending
+    int32 arrays; ~5ms for a 120k-voxel ScanNet scene."""
+    c = vox_coords.astype(np.int64)
+    keys = [((c[:, 0] << (2 * AXIS_BITS)) | (c[:, 1] << AXIS_BITS)
+             | c[:, 2]).astype(np.int32)]
+    for l in range(1, NUM_LEVELS):
+        m = np.int32((1 << l) - 1)
+        mask = ~np.int32((int(m) << (2 * AXIS_BITS))
+                         | (int(m) << AXIS_BITS) | int(m))
+        keys.append(np.unique(keys[l - 1] & mask))
+    return keys
 
 
 def level_pads_for_scenes(vox_coords_list, vox_bucket=4096,

@@ -25,14 +25,14 @@ def build_once(seed):
 def test_fixed_seed_reproduces_batches():
     d1, h1 = build_once(10)
     d2, h2 = build_once(10)
-    np.testing.assert_array_equal(np.asarray(d1['coords0_b']),
-                                  np.asarray(d2['coords0_b']))
+    np.testing.assert_array_equal(np.asarray(d1['keys0_b']),
+                                  np.asarray(d2['keys0_b']))
     np.testing.assert_allclose(np.asarray(d1['vox_features']),
                                np.asarray(d2['vox_features']))
     np.testing.assert_array_equal(np.asarray(d1['gt_semantics']),
                                   np.asarray(d2['gt_semantics']))
     # different seed -> different stream (augmentations actually applied)
     d3, _ = build_once(11)
-    assert (d1['coords0_b'].shape != d3['coords0_b'].shape
-            or not np.array_equal(np.asarray(d1['coords0_b']),
-                                  np.asarray(d3['coords0_b'])))
+    assert (d1['keys0_b'].shape != d3['keys0_b'].shape
+            or not np.array_equal(np.asarray(d1['keys0_b']),
+                                  np.asarray(d3['keys0_b'])))

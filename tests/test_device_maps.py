@@ -90,7 +90,7 @@ def test_forward_equivalence_host_vs_device_maps():
         rets.append(ret)
     dev_host, _ = build_batch(rets, cfg, sem_id2idx, device_maps=False)
     dev_small, _ = build_batch(rets, cfg, sem_id2idx, device_maps=True)
-    assert 'coords0_b' in dev_small and 'nmap3_0' not in dev_small
+    assert 'keys0_b' in dev_small and 'nmap3_0' not in dev_small
 
     model = S.build_model(cfg, num_classes=20)
     fwd = S.make_forward(cfg, model)
