@@ -76,13 +76,16 @@ def main():
     _enable_compile_cache()
     import jax.numpy as jnp
     from box2mask_tpu.engine import state as S
-    from box2mask_tpu.postprocess.detection2mask import detection_to_masks
+    from box2mask_tpu.postprocess.device_post import (make_fused_infer,
+                                                      device_masks_to_results)
     from box2mask_tpu.datasets.tables import get_tables
 
     cfg = make_cfg()
     valid_ids, _, _, is_fg = get_tables('scannet')
     model = S.build_model(cfg, num_classes=20)
-    forward = S.make_forward(cfg, model)
+    # fused pipeline: maps + forward + per-scene postproc in ONE device call
+    infer = make_fused_infer(cfg, model, valid_ids, is_fg, max_masks=256)
+    ths = None   # jnp copy of cfg.eval_ths, made after jax init below
 
     from concurrent.futures import ThreadPoolExecutor
     q = queue.Queue(maxsize=4)
@@ -110,15 +113,18 @@ def main():
             variables = model.init(jax.random.PRNGKey(0),
                                    S.materialize_maps(batch), train=False)
             params, stats = variables['params'], variables['batch_stats']
-        pred = forward(params, stats, batch)   # async dispatch
+            ths = jnp.asarray(cfg.eval_ths, jnp.float32)
+        _, outs = infer(params, stats, batch, ths)   # async dispatch
 
         for si in range(len(host['scene'])):
-            def post(pred=pred, dev=dev, host=host, si=si):
+            out = outs[si]
+
+            def post(out=out, dev=dev, host=host, si=si):
                 # device->host readback happens here, in the worker, so the
                 # main loop keeps the device queue full
-                pred_np = {k: np.asarray(v) for k, v in pred.items()}
-                return detection_to_masks(pred_np, dev, host, cfg, valid_ids,
-                                          is_fg, mode='eval', scene_idx=si)
+                out_np = {k: np.asarray(v) for k, v in out.items()}
+                return device_masks_to_results(out_np, dev, host, valid_ids,
+                                               si, mode='eval')
             futures.append(post_pool.submit(post))
         n_done += 1
         vox_counts.append(int(dev['num0']))
