@@ -1,0 +1,127 @@
+"""Torch-checkpoint converter round trip: build a torch-format state_dict
+from a flax template via the inverse mapping, convert, and require exact
+tree + value equality (incl. the ME x-fastest -> ours z-fastest kernel
+permutation)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scripts.convert_torch_ckpt import (build_mapping, convert_state_dict,
+                                        convert_conv_kernel,
+                                        cubic_perm_me_to_ours)
+from box2mask_tpu.config import get_config
+from box2mask_tpu.engine import state as S
+
+
+def make_cfg():
+    return get_config([
+        '--dataset_name', 'synthetic',
+        '--network_heads', 'mlp_offsets', 'mlp_bounds', 'mlp_bb_scores',
+        'mlp_semantics',
+        '--do_segment_pooling', '--bb_supervision', '--smallest_bb_heuristic',
+        '--loss_weight_bb_bounds', '0.5', '--loss_weight_bb_scores', '1',
+        '--loss_weight_semantics', '1', '--voxel_size', '0.05',
+        '--vox_bucket', '512', '--seg_bucket', '64', '--layers', '1',
+        '--exp_name', 'test_ckpt_convert'])
+
+
+def _get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def flax_template():
+    from __graft_entry__ import _make_batch
+    cfg = make_cfg()
+    batch = _make_batch(cfg, n_inst=2, ppi=60)
+    model = S.build_model(cfg, num_classes=20)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        S.materialize_maps({k: jnp.asarray(v) for k, v in batch.items()}),
+        train=False)
+    return cfg, model, batch, variables
+
+
+def test_cubic_perm_is_index_transpose():
+    k = 3
+    perm = cubic_perm_me_to_ours(k)
+    for x in range(k):
+        for y in range(k):
+            for z in range(k):
+                i_ours = (x * k + y) * k + z
+                i_me = (z * k + y) * k + x
+                assert perm[i_ours] == i_me
+    # permutation is an involution for the 3-D transpose
+    np.testing.assert_array_equal(perm[perm], np.arange(k ** 3))
+
+
+def test_roundtrip_exact():
+    cfg, model, batch, variables = flax_template()
+    params, stats = variables['params'], variables['batch_stats']
+
+    rng = np.random.RandomState(0)
+    torch_sd = {}
+    n_rows = 0
+    for t_key, f_path, kind in build_mapping(layers=cfg.layers):
+        tree = stats if kind == 'stat' else params
+        try:
+            leaf = np.asarray(_get(tree, f_path))
+        except KeyError:
+            continue                # head not in this model config
+        val = 0.05 * rng.standard_normal(leaf.shape).astype(np.float32)
+        if f_path[-1] == 'var':
+            val = np.abs(val) + 0.5     # running var must be positive
+        if f_path[-1] == 'scale':
+            val = 1.0 + val
+        if kind == 'conv' and val.ndim == 3:
+            # store in ME order: inverse of the converter's permutation
+            perm = cubic_perm_me_to_ours(round(val.shape[0] ** (1 / 3)))
+            inv = np.argsort(perm)
+            torch_sd[t_key] = val[inv]
+        else:
+            torch_sd[t_key] = val
+        n_rows += 1
+    assert n_rows > 50
+    # DDP prefix + junk the converter must tolerate
+    torch_sd = {'module.' + k: v for k, v in torch_sd.items()}
+    torch_sd['module.bn0.bn.num_batches_tracked'] = np.int64(7)
+    torch_sd['module.final0.kernel'] = np.zeros((96, 96), np.float32)
+
+    got_p, got_s = convert_state_dict(torch_sd, layers=cfg.layers)
+
+    # exact value match at every leaf of the flax template that the mapping
+    # covers, and identical tree structure for params
+    flat_tmpl = jax.tree_util.tree_leaves_with_path(params)
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(got_p))
+    assert len(flat_got) == len(flat_tmpl)
+    for t_key, f_path, kind in build_mapping(layers=cfg.layers):
+        tree_t = stats if kind == 'stat' else params
+        tree_g = got_s if kind == 'stat' else got_p
+        try:
+            want_shape = np.asarray(_get(tree_t, f_path)).shape
+        except KeyError:
+            continue
+        got = np.asarray(_get(tree_g, f_path))
+        assert got.shape == want_shape, (t_key, got.shape, want_shape)
+        src = torch_sd['module.' + t_key]
+        if kind == 'conv' and got.ndim == 3:
+            np.testing.assert_array_equal(got, convert_conv_kernel(src))
+        else:
+            np.testing.assert_array_equal(got, src)
+
+    # converted tree must run a forward pass
+    out = model.apply({'params': got_p, 'batch_stats': got_s},
+                      S.materialize_maps({k: jnp.asarray(v)
+                                          for k, v in batch.items()}),
+                      train=False)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_strict_rejects_unknown_keys():
+    with pytest.raises(ValueError):
+        convert_state_dict({'not_a_layer.kernel': np.zeros((3, 3))},
+                           strict=True)
