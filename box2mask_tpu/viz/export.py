@@ -78,23 +78,51 @@ def export_scene_visualization(out_dir, scene, labels, result, cfg=None):
                 sem[mask] = int(result['label_id'][j])
         write_ply_points(os.path.join(out_dir, 'pred_semantics.ply'), pos,
                          semantic_colors(sem))
+        if cfg is not None and getattr(cfg, 'mesh_viz', False):
+            # Poisson-reconstruction substitute (viz/surface.py): voxel
+            # boundary meshes colored by prediction labels (reference
+            # utils/s3dis_util.py:19-51)
+            from box2mask_tpu.viz.surface import write_surface_mesh_ply
+            vs = 2 * (cfg.voxel_size or 0.02)
+            write_surface_mesh_ply(
+                os.path.join(out_dir, 'pred_instances_mesh.ply'), pos,
+                instance_colors(inst), voxel_size=vs)
+            write_surface_mesh_ply(
+                os.path.join(out_dir, 'pred_semantics_mesh.ply'), pos,
+                semantic_colors(sem), voxel_size=vs)
         if 'bbs' in result:
-            np.save(os.path.join(out_dir, 'bbs.npy'),
-                    np.asarray(result['bbs']))
+            bbs = np.asarray(result['bbs'])       # (R, 7) [score, min, max]
+            np.save(os.path.join(out_dir, 'bbs.npy'), bbs)
+            # predicted-box wireframes (reference utils/util.py:5-43 line sets)
+            from box2mask_tpu.viz.wireframe import write_wireframe_ply
+            centers = (bbs[:, 1:4] + bbs[:, 4:7]) / 2
+            bounds = (bbs[:, 4:7] - bbs[:, 1:4]) / 2
+            colors = instance_colors(np.arange(1, len(bbs) + 1))
+            write_wireframe_ply(os.path.join(out_dir, 'pred_bbs.ply'),
+                                centers, bounds, colors)
 
 
 def produce_visualizations(evaluater, dataset, cfg):
     """Reference --produce_visualizations / --predict_specific_scene flow
     (evaluation.py:523-615,711-715)."""
+    from box2mask_tpu.postprocess.detection2mask import detection_to_masks
     entries = evaluater.load_or_predict(dataset)
     results = evaluater.pred_entries_to_results(entries)
     base = os.path.join(cfg.exp_path, 'viz')
-    for _, _, host in entries:
+    for pred, dev, host in entries:
+        # viz-mode pass carries the representative boxes for bbs.npy +
+        # wireframes (reference evaluation.py:532-615 box line sets)
+        viz_results = detection_to_masks(
+            pred, dev, host, cfg, evaluater.valid_class_ids,
+            evaluater.is_foreground, mode='viz')
         for scene, labels in zip(host['scene'], host['labels']):
             name = scene['name']
             if name not in results:
                 continue
+            merged = dict(results[name])
+            if 'bbs' in viz_results.get(name, {}):
+                merged['bbs'] = viz_results[name]['bbs']
             export_scene_visualization(os.path.join(base, name), scene,
-                                       labels, results[name], cfg)
+                                       labels, merged, cfg)
             print(f'visualizations written: {os.path.join(base, name)}')
     return base
