@@ -240,7 +240,10 @@ class Trainer:
             self._full_eval(epoch)
 
     def _full_eval(self, epoch):
-        """Full val-set mAP during training (training.py:129-142)."""
+        """Full val-set mAP during training (training.py:129-142).
+
+        Failures must not kill a multi-day training run, but they must be
+        LOUD: full traceback to stderr + a TB marker scalar per failure."""
         try:
             from box2mask_tpu.engine.evaluate import Evaluater
             ev = Evaluater(self.cfg, state=self.state, model=self.model,
@@ -249,8 +252,14 @@ class Trainer:
             val_ds = get_dataset(self.cfg, 'val',
                                  do_augmentations=not self.cfg.eval_wo_aug)
             ev.eval(val_ds)
-        except Exception as e:
-            print(f'Full eval failed: {e}')
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            print(f'Full eval FAILED at epoch {epoch} (traceback above); '
+                  'training continues')
+            self.writer.add_scalar('val/full_eval_failed', 1.0, epoch)
 
     def _log_memory(self):
         try:

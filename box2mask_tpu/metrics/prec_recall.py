@@ -2,7 +2,7 @@
 
 Behavior-parity with reference utils/metric_util.py:19-113 (whose __main__
 block is the reference's only real unit test suite — mirrored in
-tests/test_metrics_prec_recall.py): greedy best-IoU matching of predicted
+tests/test_misc_units.py): greedy best-IoU matching of predicted
 boxes to ground truth at a threshold; each gt matched at most once.
 """
 
