@@ -64,16 +64,10 @@ def scene_stream(cfg, n_batches, out_q):
     out_q.put(None)
 
 
-def _enable_compile_cache():
-    import jax
-    jax.config.update('jax_compilation_cache_dir',
-                      '/root/.cache/jax_b2m_compile')
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-
-
 def main():
+    from box2mask_tpu import runtime
+    runtime.setup()
     import jax
-    _enable_compile_cache()
     import jax.numpy as jnp
     from box2mask_tpu.engine import state as S
     from box2mask_tpu.postprocess.device_post import (make_fused_infer,
@@ -110,8 +104,7 @@ def main():
         dev, host = item
         batch = {k: jnp.asarray(v) for k, v in dev.items()}
         if variables is None:
-            variables = model.init(jax.random.PRNGKey(0),
-                                   S.materialize_maps(batch), train=False)
+            variables = S.init_variables(model, batch)
             params, stats = variables['params'], variables['batch_stats']
             ths = jnp.asarray(cfg.eval_ths, jnp.float32)
         _, outs = infer(params, stats, batch, ths)   # async dispatch

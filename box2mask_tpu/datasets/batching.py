@@ -170,7 +170,7 @@ def _build_batch_small(rets, cfg, sem_id2idx, mode, level_pads=None,
         pads = []
         for l in range(NUM_LEVELS):
             count = max(len(ks[l]) for ks in keys_per_scene)
-            bucket = max(512, cfg.vox_bucket >> l)
+            bucket = max(min(512, cfg.vox_bucket), cfg.vox_bucket >> l)
             pads.append(max(round_up(count, bucket), bucket))
         pads = tuple(pads)
     Vs = pads[0]

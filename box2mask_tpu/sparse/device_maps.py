@@ -300,7 +300,7 @@ def host_level_keys(vox_coords):
 
 
 def level_pads_for_scenes(vox_coords_list, vox_bucket=4096,
-                          min_pad=512):
+                          min_pad=None):
     """Host helper: per-level per-scene pad sizes (max over scenes, bucketed).
     Uses the cheap host packing to count unique keys per level (~ms)."""
     from box2mask_tpu.sparse.coords import pack, round_up
@@ -315,6 +315,11 @@ def level_pads_for_scenes(vox_coords_list, vox_bucket=4096,
             mask = ~((m << 42) | (m << 21) | m)
             keys = np.unique(keys & mask)
             counts[l] = max(counts[l], len(keys))
+    # 512 floor keeps production pads VPU-friendly; tiny configs (tests,
+    # dryruns with vox_bucket < 512) use the bucket itself so coarse levels
+    # do not pay production-size padding
+    if min_pad is None:
+        min_pad = min(512, vox_bucket)
     pads = []
     for l in range(NUM_LEVELS):
         bucket = max(min_pad, vox_bucket >> l)

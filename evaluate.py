@@ -14,12 +14,8 @@ import sys
 
 
 def main(argv=None):
-    import os
-    if os.environ.get('BOX2MASK_PLATFORM'):
-        # the axon TPU plugin force-sets JAX_PLATFORMS, so expose an explicit
-        # override (e.g. BOX2MASK_PLATFORM=cpu for host-only runs)
-        import jax
-        jax.config.update('jax_platforms', os.environ['BOX2MASK_PLATFORM'])
+    from box2mask_tpu import runtime
+    runtime.setup()
     from box2mask_tpu.config import get_config
     cfg = get_config(argv)
     from box2mask_tpu.datasets.loader import get_dataset

@@ -238,8 +238,8 @@ def main(argv=None):
     small.vox_bucket, small.seg_bucket = 1024, 128
     batch = {k: np.asarray(v) for k, v in _make_batch(small).items()}
     import jax.numpy as jnp
-    variables = model.init(jax.random.PRNGKey(0), S.materialize_maps(
-        {k: jnp.asarray(v) for k, v in batch.items()}), train=False)
+    variables = S.init_variables(
+        model, {k: jnp.asarray(v) for k, v in batch.items()})
     tmpl_p = jax.tree.map(np.shape, variables['params'])
     got_p = jax.tree.map(np.shape, params)
     import flax

@@ -38,10 +38,8 @@ def flax_template():
     cfg = make_cfg()
     batch = _make_batch(cfg, n_inst=2, ppi=60)
     model = S.build_model(cfg, num_classes=20)
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        S.materialize_maps({k: jnp.asarray(v) for k, v in batch.items()}),
-        train=False)
+    variables = S.init_variables(
+        model, {k: jnp.asarray(v) for k, v in batch.items()})
     return cfg, model, batch, variables
 
 

@@ -96,8 +96,7 @@ def test_forward_equivalence_host_vs_device_maps():
     fwd = S.make_forward(cfg, model)
     bh = {k: jnp.asarray(v) for k, v in dev_host.items()}
     bs = {k: jnp.asarray(v) for k, v in dev_small.items()}
-    import jax.random
-    variables = model.init(jax.random.PRNGKey(0), bh, train=False)
+    variables = S.init_variables(model, bh)
     out_h = fwd(variables['params'], variables['batch_stats'], bh)
     out_s = fwd(variables['params'], variables['batch_stats'], bs)
     Sv = int(dev_host['num_segments'])

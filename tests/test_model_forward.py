@@ -13,6 +13,7 @@ from box2mask_tpu.config import get_config
 from box2mask_tpu.datasets import synthetic, supervision
 from box2mask_tpu.datasets.voxelize import voxelize_scene
 from box2mask_tpu.datasets.batching import build_batch
+from box2mask_tpu.engine import state as S
 from box2mask_tpu.datasets.tables import get_tables
 from box2mask_tpu.nn.unet import SelectionNet
 from box2mask_tpu.nn import losses as L
@@ -52,7 +53,7 @@ def setup():
     batch, host = make_batch(cfg)
     model = SelectionNet(num_classes=20, heads=tuple(cfg.network_heads),
                          layers=cfg.layers, compute_dtype=jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = S.init_variables(model, batch)
     return cfg, batch, host, model, variables
 
 
