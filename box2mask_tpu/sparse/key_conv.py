@@ -1,0 +1,298 @@
+"""Pallas TPU kernel: sparse convolution by in-window packed-key matching.
+
+Replaces BOTH halves of the round-1 hot path — the searchsorted neighbor-map
+build (sparse/device_maps.py) AND the XLA row-gather conv (sparse/ops.py
+gather_conv) — with one fused kernel. It rests on two structural facts about
+our batches (reference analog: MinkowskiEngine's kernel maps built on the
+coordinate hash, models/detection_net.py:37-230):
+
+  1. voxels are sorted by packed key (x,y,z bit-packed, datasets/batching.py
+     host_level_keys), so for every kernel offset the neighbor of output row
+     r+1 sits at an input row >= that of row r (monotone maps), and a tile of
+     T consecutive output rows reads one contiguous input window per offset;
+  2. the neighbor relation itself is key arithmetic: the (dx,dy,dz) neighbor
+     of key k is k + (dx<<2A | dy<<A | dz), and for the stride-2 down conv the
+     fine-level child keys of coarse key k are 2*k + (dx<<2A | dy<<A | dz),
+     dx,dy,dz in {0,1} (field-local doubling never crosses bit fields).
+
+So per (output tile, dx-group) the kernel DMAs a window of input features and
+input keys, builds each offset's gather one-hot ON THE FLY as an integer
+compare ``win_keys == tile_keys + delta`` (T x W), and runs gather + weight as
+two MXU matmuls. No neighbor maps exist anywhere: device memory traffic is
+the feature window (sequential DMA at HBM bandwidth) and the per-tile window
+start positions (built from host searchsorted over ~tiles queries — a few KB).
+
+Missing neighbors produce all-zero one-hot rows (contribute nothing); axis
+boundary wraps (coordinate 0-1 or 1023+1 borrowing across bit fields) are
+masked exactly from the unpacked key fields; SENT-padded rows never match
+(their query is forced to -1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from box2mask_tpu.sparse.device_maps import AXIS_BITS, AXIS_MAX, SENT_KEY
+
+TILE = 256          # output rows per grid step
+WINDOW = 512        # input rows per window chunk (multiple of 128)
+
+
+def _round128(c):
+    return ((c + 127) // 128) * 128
+
+
+def offsets_3d(kernel_size, stride_child=False):
+    """(K, 3) int offsets in the reference's kernel-offset order
+    (sparse/coords.py _offsets): x-major, matching the weight slot layout."""
+    if stride_child:
+        rng = (0, 1)
+    else:
+        h = kernel_size // 2
+        rng = range(-h, h + 1)
+    return np.array([(dx, dy, dz) for dx in rng for dy in rng for dz in rng],
+                    np.int32)
+
+
+def pack_delta(off):
+    dx, dy, dz = (int(v) for v in off)
+    return (dx << (2 * AXIS_BITS)) | (dy << AXIS_BITS) | dz
+
+
+def group_by_dx(offs):
+    """Group offset rows by dx (shared input window per group)."""
+    order = {}
+    for i, (dx, dy, dz) in enumerate(offs):
+        order.setdefault(int(dx), []).append(i)
+    return [order[dx] for dx in sorted(order)]
+
+
+def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
+            out_ref, win_x, win_k, sem_x, sem_k, *,
+            groups, deltas, offs, cin, cout, window, pad, tiles,
+            doubled, guard):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    flat = b * tiles + t
+    keys_col = keys_col_ref[:, :]                       # (T, 1) int32
+    base_q = keys_col * 2 if doubled else keys_col
+
+    if guard:
+        xf = jax.lax.shift_right_logical(keys_col, 2 * AXIS_BITS)
+        yf = jax.lax.shift_right_logical(keys_col, AXIS_BITS) & (AXIS_MAX - 1)
+        zf = keys_col & (AXIS_MAX - 1)
+    valid_row = keys_col < SENT_KEY                     # (T, 1)
+
+    acc = jnp.zeros((TILE, cout), jnp.float32)
+    G = len(groups)
+    for g in range(G):                                  # static
+        base = bases_ref[flat * G + g]
+        cnt = counts_ref[flat * G + g]
+
+        def chunk_body(c, acc):
+            # logical chunk [su, su+window); DMA start clamped inside the
+            # scene's padded block, overlap deduped by the column mask below
+            su = base + c * window
+            start = pl.multiple_of(jnp.minimum(su, pad - window), 128)
+            cpx = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(b * pad + start, window), :], win_x, sem_x)
+            cpk = pltpu.make_async_copy(
+                keys_hbm.at[pl.ds(b, 1), pl.ds(start, window)], win_k, sem_k)
+            cpx.start()
+            cpk.start()
+            cpk.wait()
+            cpx.wait()
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+            wk = jnp.where(cols >= su - start, win_k[:, :], -2)  # (1, W)
+            wx = win_x[:, :]                            # (W, Cin) bf16
+            for k in groups[g]:                         # static unroll
+                q = base_q + deltas[k]
+                ok = valid_row
+                if guard:
+                    dx, dy, dz = offs[k]
+                    if dx != 0:
+                        ok = ok & ((xf + dx >= 0) & (xf + dx < AXIS_MAX))
+                    if dy != 0:
+                        ok = ok & ((yf + dy >= 0) & (yf + dy < AXIS_MAX))
+                    if dz != 0:
+                        ok = ok & ((zf + dz >= 0) & (zf + dz < AXIS_MAX))
+                qm = jnp.where(ok, q, -1)               # (T, 1)
+                oh = jnp.where(wk == qm, jnp.float32(1),
+                               jnp.float32(0)).astype(jnp.bfloat16)
+                gath = jnp.dot(oh, wx, preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(gath.astype(jnp.bfloat16), w_ref[k],
+                                    preferred_element_type=jnp.float32)
+            return acc
+
+        acc = jax.lax.fori_loop(0, cnt, chunk_body, acc)
+    out_ref[:] = acc
+
+
+def _host_bases(keys_np, out_keys_np, deltas, groups, window, pad,
+                doubled=False):
+    """Per (tile, group) window start + chunk count from host searchsorted
+    over one query per tile per offset (~tiles*K queries, microseconds).
+
+    keys_np: (pad,) sorted int32 input keys (SENT-padded);
+    out_keys_np: (pad_out,) sorted int32 output keys."""
+    n_in = int(np.searchsorted(keys_np, SENT_KEY))
+    tiles = len(out_keys_np) // TILE
+    firsts = out_keys_np[::TILE].astype(np.int64)
+    if doubled:
+        firsts = firsts * 2
+    G = len(groups)
+    bases = np.zeros((tiles, G), np.int32)
+    counts = np.zeros((tiles, G), np.int32)
+    # per-offset positions of each tile's first query (+ sentinel tile at end)
+    pos = np.empty((len(deltas), tiles + 1), np.int64)
+    for k, d in enumerate(deltas):
+        pos[k, :tiles] = np.searchsorted(keys_np[:n_in], firsts + d)
+        pos[k, tiles] = n_in
+    for g, members in enumerate(groups):
+        lo = pos[members, :tiles].min(axis=0)
+        hi = pos[members, 1:].max(axis=0)
+        lo = np.minimum(lo & ~np.int64(127), max(0, pad - window))
+        span = np.maximum(hi - lo, 1)
+        bases[:, g] = lo
+        counts[:, g] = -(-span // window)
+    return bases, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('kernel_size', 'doubled', 'guard', 'window', 'interpret'))
+def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
+             kernel_size=3, doubled=False, guard=True, window=WINDOW,
+             interpret=False):
+    """out[v] = sum_k x[match(key_out[v] * (2 if doubled) + delta_k)] @ w[k].
+
+    x:            (B*pad_in, Cin) features, scene-interleaved, key-sorted
+    keys_in_b:    (B, pad_in) int32 sorted keys (SENT-padded)
+    keys_out_col: (B*pad_out, 1) int32 output keys (== input keys for
+                  same-level convs; coarse keys for the down conv)
+    bases/counts: (B, tiles, G) int32 window starts / chunk counts
+    w:            (K, Cin, Cout)
+    """
+    Bp_in, cin_raw = x.shape
+    B, pad = keys_in_b.shape
+    n_out = keys_out_col.shape[0]
+    pad_out = n_out // B
+    assert pad_out % TILE == 0, f'pad_out {pad_out} % {TILE}'
+    window = min(window, pad)
+    offs = offsets_3d(kernel_size, stride_child=doubled)
+    deltas = [pack_delta(o) for o in offs]
+    groups = group_by_dx(offs)
+    kdim = len(offs)
+    assert w.shape[0] == kdim
+    tiles = pad_out // TILE
+    G = len(groups)
+
+    cin, cout = _round128(cin_raw), _round128(w.shape[2])
+    xp = jnp.zeros((Bp_in, cin), jnp.bfloat16)
+    xp = xp.at[:, :cin_raw].set(x.astype(jnp.bfloat16))
+    wp = jnp.zeros((kdim, cin, cout), jnp.bfloat16)
+    wp = wp.at[:, :cin_raw, :w.shape[2]].set(w.astype(jnp.bfloat16))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, tiles),
+        in_specs=[
+            pl.BlockSpec((TILE, 1), lambda b, t, *_: (b * (n_out // B // TILE)
+                                                      + t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # weights
+            pl.BlockSpec(memory_space=pl.ANY),          # x in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # keys in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE, cout), lambda b, t, *_: (b * (n_out // B // TILE) + t, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((window, cin), jnp.bfloat16),
+            pltpu.VMEM((1, window), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, groups=groups, deltas=deltas,
+                          offs=[tuple(int(v) for v in o) for o in offs],
+                          cin=cin, cout=cout, window=window, pad=pad,
+                          tiles=tiles, doubled=doubled, guard=guard),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
+        interpret=interpret,
+    )(bases.reshape(-1), counts.reshape(-1), keys_out_col, wp, xp, keys_in_b)
+    return out[:, :w.shape[2]]
+
+
+def key_conv_reference(x, keys_in_b, keys_out_b, w, kernel_size=3,
+                       doubled=False):
+    """NumPy oracle: searchsorted matching, exact missing/boundary handling."""
+    B, pad = keys_in_b.shape
+    pad_out = keys_out_b.shape[1]
+    offs = offsets_3d(kernel_size, stride_child=doubled)
+    out = np.zeros((B, pad_out, w.shape[2]), np.float32)
+    xs = np.asarray(x).reshape(B, pad, -1)
+    for b in range(B):
+        keys = np.asarray(keys_in_b[b]).astype(np.int64)
+        n_in = int(np.searchsorted(keys, SENT_KEY))
+        ko = np.asarray(keys_out_b[b]).astype(np.int64)
+        valid = ko < SENT_KEY
+        kq = np.where(valid, ko, 0)
+        xf = kq >> (2 * AXIS_BITS)
+        yf = (kq >> AXIS_BITS) & (AXIS_MAX - 1)
+        zf = kq & (AXIS_MAX - 1)
+        for k, (dx, dy, dz) in enumerate(offs):
+            if doubled:
+                q = 2 * kq + pack_delta((dx, dy, dz))
+                ok = valid
+            else:
+                q = kq + pack_delta((dx, dy, dz))
+                ok = (valid & (xf + dx >= 0) & (xf + dx < AXIS_MAX)
+                      & (yf + dy >= 0) & (yf + dy < AXIS_MAX)
+                      & (zf + dz >= 0) & (zf + dz < AXIS_MAX))
+            pos = np.searchsorted(keys[:n_in], q)
+            hit = ok & (pos < n_in) & (keys[np.minimum(pos, n_in - 1)] == q)
+            src = np.where(hit, pos, 0)
+            contrib = xs[b][src].astype(np.float32) @ np.asarray(
+                w[k], np.float32)
+            out[b] += np.where(hit[:, None], contrib, 0.0)
+    return out.reshape(B * pad_out, w.shape[2])
+
+
+def host_conv_plans(keys_levels, vox_bucket=4096, stem_kernel=5):
+    """Per-scene window plans for every conv site of the network, computed in
+    the loader's prefetch threads. Returns dict of (bases, counts) arrays.
+
+    keys_levels: list of 8 SENT-padded sorted key arrays (one per level,
+    padded to the batch's common level pads)."""
+    plans = {}
+    offs3 = offsets_3d(3)
+    g3 = group_by_dx(offs3)
+    d3 = [pack_delta(o) for o in offs3]
+    offs5 = offsets_3d(stem_kernel)
+    g5 = group_by_dx(offs5)
+    d5 = [pack_delta(o) for o in offs5]
+    offsd = offsets_3d(2, stride_child=True)
+    gd = group_by_dx(offsd)
+    dd = [pack_delta(o) for o in offsd]
+    for l, keys in enumerate(keys_levels):
+        pad = len(keys)
+        win = min(WINDOW, pad)
+        plans[f'kc3_base{l}'], plans[f'kc3_cnt{l}'] = _host_bases(
+            keys, keys, d3, g3, win, pad)
+        if l == 0:
+            plans[f'kc5_base{l}'], plans[f'kc5_cnt{l}'] = _host_bases(
+                keys, keys, d5, g5, win, pad)
+        if l + 1 < len(keys_levels):
+            coarse = keys_levels[l + 1]
+            plans[f'kcd_base{l}'], plans[f'kcd_cnt{l}'] = _host_bases(
+                keys, coarse, dd, gd, win, pad, doubled=True)
+    return plans
