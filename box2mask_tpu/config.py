@@ -203,6 +203,14 @@ def config_parser():
     add('--pallas_conv', type=str, default='auto',
         choices=['auto', 'on', 'off'],
         help='Fused pallas gather-GEMM sparse conv: auto = on TPU only.')
+    add('--key_conv', type=str, default='eval',
+        choices=['eval', 'off'],
+        help='In-window packed-key-matching pallas conv (sparse/key_conv.py):'
+             ' no neighbor maps are built for the conv path. eval = use for'
+             ' val/test batches (inference); training uses the nmap path.')
+    add('--key_conv_force', default=False, action='store_true',
+        help='Emit key_conv window plans on non-TPU backends too (tests use '
+             'the interpret-mode kernel).')
     add('--host_coordinate_maps', default=False, action='store_true',
         help='Force host-side neighbor-map building (default: build the full '
              'coordinate pyramid on-device from coords only, sparse/device_maps).')

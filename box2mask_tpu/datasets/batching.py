@@ -148,6 +148,16 @@ def build_batch(rets, cfg, sem_id2idx, mode='train', pyramids=None,
     return dev, host
 
 
+def _key_conv_backend_ok(cfg):
+    """key_conv is a TPU kernel; on other backends only the (slow) interpret
+    mode exists, so plans are emitted there only when explicitly forced
+    (tests)."""
+    if getattr(cfg, 'key_conv_force', False):
+        return True
+    import jax
+    return jax.default_backend() == 'tpu'
+
+
 def _build_batch_small(rets, cfg, sem_id2idx, mode, level_pads=None,
                        seg_pad=None):
     """Device-maps batch: per-scene per-level key pyramids + interleaved
@@ -182,6 +192,31 @@ def _build_batch_small(rets, cfg, sem_id2idx, mode, level_pads=None,
         for i, ks in enumerate(keys_per_scene):
             kb[i, :len(ks[l])] = ks[l]
         dev[f'keys{l}_b'] = kb
+
+    if (mode != 'train' and getattr(cfg, 'key_conv', 'off') == 'eval'
+            and all(p % 256 == 0 for p in pads) and _key_conv_backend_ok(cfg)):
+        # inference conv path: per-tile window plans + host up-maps instead of
+        # on-device neighbor maps (sparse/key_conv.py; a few KB per scene)
+        from box2mask_tpu.sparse import key_conv as KC
+        per_scene_plans = [
+            KC.host_conv_plans([dev[f'keys{l}_b'][i] for l in
+                                range(NUM_LEVELS)],
+                               stem_kernel=5)
+            for i in range(B)]
+        for k in per_scene_plans[0]:
+            dev[k] = np.stack([p[k] for p in per_scene_plans])
+        for l in range(NUM_LEVELS - 1):
+            # parent key = floor bit l of every field (levels keep floored
+            # original-scale coords); every parent exists by construction
+            m = np.int64((1 << (l + 1)) - 1)
+            mask = ~((m << 20) | (m << 10) | m)
+            par = np.full((B, pads[l]), B * pads[l + 1], np.int32)
+            for i in range(B):
+                fine = keys_per_scene[i][l].astype(np.int64)
+                coarse = keys_per_scene[i][l + 1]
+                pos = np.searchsorted(coarse, fine & mask)
+                par[i, :len(fine)] = pos + i * pads[l + 1]
+            dev[f'up_parent{l}'] = par.reshape(-1)
 
     def interleave(key, ncols=None, fill=0, dtype=None):
         a0 = np.asarray(rets[0][key])

@@ -32,10 +32,32 @@ def ensure_maps(batch):
     pyramids instead of neighbor maps), build every conv neighbor map
     on-device (sparse/device_maps.py). Works inside jit — pad sizes come from
     the static key-array shapes. Host-provided valid0/batch0/num0 win on
-    collision."""
+    collision.
+
+    key_conv batches (carrying 'kc3_base0' window plans) skip the neighbor
+    maps entirely: the convs match keys in-window inside the pallas kernel
+    (sparse/key_conv.py), so only the per-level valid masks / counts and the
+    transpose-conv weight slots remain to derive here."""
     if 'keys0_b' not in batch:
         return batch
+    import jax.numpy as jnp
     from box2mask_tpu.sparse import device_maps as DM
+    if 'kc3_base0' in batch:
+        A = DM.AXIS_BITS
+        maps = {}
+        for l in range(DM.NUM_LEVELS):
+            kb = batch[f'keys{l}_b'].reshape(-1)
+            v = kb < DM.SENT_KEY
+            maps[f'valid{l}'] = v
+            maps[f'num{l}'] = jnp.sum(v).astype(jnp.int32)
+            if l < DM.NUM_LEVELS - 1:
+                # transpose-conv weight slot = bit l of each field
+                xb = jax.lax.shift_right_logical(kb, 2 * A + l) & 1
+                yb = jax.lax.shift_right_logical(kb, A + l) & 1
+                zb = jax.lax.shift_right_logical(kb, l) & 1
+                maps[f'up_widx{l}'] = (xb * 4 + yb * 2 + zb).astype(jnp.int32)
+        maps.update(batch)
+        return maps
     keys_b = tuple(batch[f'keys{l}_b'] for l in range(DM.NUM_LEVELS))
     maps = DM.build_batch_maps_from_keys(keys_b)
     merged = dict(maps)

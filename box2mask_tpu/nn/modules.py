@@ -28,8 +28,18 @@ def kaiming_fan_out(key, shape, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype) * std
 
 
+def nbr_kernel_volume(nbr):
+    """Kernel volume of a conv operand: nmap column count, or derived from a
+    key_conv window-plan dict (sparse/key_conv.py)."""
+    if isinstance(nbr, dict):
+        ksize, stride_child, _ = nbr['static']
+        return 8 if stride_child else ksize ** 3
+    return nbr.shape[-1]
+
+
 class SparseConv(nn.Module):
-    """Sparse conv driven by a precomputed neighbor map."""
+    """Sparse conv driven by a precomputed neighbor map or a key_conv
+    window-plan operand."""
     features: int
     kernel_volume: int          # 27 for 3^3, 8 for 2^3 down, 125 for 5^3 stem
     use_bias: bool = False      # ME convs default to bias=False
@@ -120,12 +130,13 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, nbr, valid, n_valid, train: bool):
         residual = x
-        out = SparseConv(self.features, nbr.shape[-1],
+        kv = nbr_kernel_volume(nbr)
+        out = SparseConv(self.features, kv,
                          compute_dtype=self.compute_dtype,
                          use_pallas=self.use_pallas)(x, nbr)
         out = MaskedBatchNorm(axis_name=self.axis_name)(out, valid, n_valid, train)
         out = nn.relu(out)
-        out = SparseConv(self.features, nbr.shape[-1],
+        out = SparseConv(self.features, kv,
                          compute_dtype=self.compute_dtype,
                          use_pallas=self.use_pallas)(out, nbr)
         out = MaskedBatchNorm(axis_name=self.axis_name)(out, valid, n_valid, train)

@@ -74,8 +74,25 @@ class SelectionNet(nn.Module):
         def bn(name):
             return MaskedBatchNorm(axis_name=ax, name=name)
 
+        def conv_operand(l, kind):
+            """nmap array, or the key_conv plan dict when the batch carries
+            window plans (sparse/key_conv.py; inference fast path)."""
+            plan = {'3': f'kc3_base{l}', '5': f'kc5_base{l}',
+                    'd': f'kcd_base{l}'}[kind]
+            if plan not in batch:
+                return batch[{'3': f'nmap3_{l}', '5': 'nmap5_0',
+                              'd': f'down{l}'}[kind]]
+            out_l = l + 1 if kind == 'd' else l
+            return dict(keys_in=batch[f'keys{l}_b'],
+                        keys_out_col=batch[f'keys{out_l}_b'].reshape(-1, 1),
+                        bases=batch[plan],
+                        counts=batch[plan.replace('base', 'cnt')],
+                        static=(({'3': 3, '5': self.stem_kernel,
+                                  'd': 2}[kind]),
+                                kind == 'd', 1 << l))
+
         def blocks(x, level, planes, stage):
-            nbr = batch[f'nmap3_{level}']
+            nbr = conv_operand(level, '3')
             v, n = batch[f'valid{level}'], batch[f'num{level}']
             for i in range(self.layers):
                 x = BasicBlock(planes, axis_name=ax, compute_dtype=cd,
@@ -86,7 +103,8 @@ class SelectionNet(nn.Module):
         # ---- stem (stride 1)
         x = SparseConv(INIT_DIM, self.stem_kernel ** 3, compute_dtype=cd,
                        use_pallas=up,
-                       name='stem_conv')(batch['vox_features'], batch['nmap5_0'])
+                       name='stem_conv')(batch['vox_features'],
+                                         conv_operand(0, '5'))
         x = bn('stem_bn')(x, batch['valid0'], batch['num0'], train)
         x = nn.relu(x)
         stem_out = x
@@ -95,7 +113,7 @@ class SelectionNet(nn.Module):
         skips = [stem_out]
         for l in range(1, 8):
             x = SparseConv(x.shape[-1], 8, compute_dtype=cd, use_pallas=up,
-                           name=f'down{l}_conv')(x, batch[f'down{l - 1}'])
+                           name=f'down{l}_conv')(x, conv_operand(l - 1, 'd'))
             x = bn(f'down{l}_bn')(x, batch[f'valid{l}'], batch[f'num{l}'], train)
             x = nn.relu(x)
             x = blocks(x, l, ENC_PLANES[l - 1], f'enc{l}')

@@ -10,10 +10,11 @@ coordinate hash, models/detection_net.py:37-230):
      host_level_keys), so for every kernel offset the neighbor of output row
      r+1 sits at an input row >= that of row r (monotone maps), and a tile of
      T consecutive output rows reads one contiguous input window per offset;
-  2. the neighbor relation itself is key arithmetic: the (dx,dy,dz) neighbor
-     of key k is k + (dx<<2A | dy<<A | dz), and for the stride-2 down conv the
-     fine-level child keys of coarse key k are 2*k + (dx<<2A | dy<<A | dz),
-     dx,dy,dz in {0,1} (field-local doubling never crosses bit fields).
+  2. the neighbor relation itself is key arithmetic: levels store floored
+     ORIGINAL-scale coords, so the level-l (dx,dy,dz) neighbor of key k is
+     k + 2^l*(dx<<2A | dy<<A | dz), and the stride-2 down conv's fine-level
+     child keys of coarse key k are k + 2^l*(dx<<2A | dy<<A | dz) with
+     dx,dy,dz in {0,1}.
 
 So per (output tile, dx-group) the kernel DMAs a window of input features and
 input keys, builds each offset's gather one-hot ON THE FLY as an integer
@@ -60,9 +61,17 @@ def offsets_3d(kernel_size, stride_child=False):
                     np.int32)
 
 
-def pack_delta(off):
-    dx, dy, dz = (int(v) for v in off)
-    return (dx << (2 * AXIS_BITS)) | (dy << AXIS_BITS) | dz
+def pack_delta(off, scale=1):
+    """Packed-key delta of a (dx,dy,dz) offset at level `scale = 2**l`.
+    Levels store floored ORIGINAL-scale coords (host_level_keys), so both the
+    same-level conv at level l (offsets +-2**l per field) and the stride-2
+    down conv (child = coarse + {0,1}*2**l per field) are key additions.
+
+    ARITHMETIC sum, not bitwise OR: negative field deltas are borrows
+    (two's-complement OR of negatives would collapse them, e.g.
+    (-1<<20)|(-1<<10)|-1 == -1)."""
+    dx, dy, dz = (int(v) * scale for v in off)
+    return dx * (1 << (2 * AXIS_BITS)) + dy * (1 << AXIS_BITS) + dz
 
 
 def group_by_dx(offs):
@@ -76,12 +85,11 @@ def group_by_dx(offs):
 def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
             out_ref, win_x, win_k, sem_x, sem_k, *,
             groups, deltas, offs, cin, cout, window, pad, tiles,
-            doubled, guard):
+            scale, guard):
     b = pl.program_id(0)
     t = pl.program_id(1)
     flat = b * tiles + t
     keys_col = keys_col_ref[:, :]                       # (T, 1) int32
-    base_q = keys_col * 2 if doubled else keys_col
 
     if guard:
         xf = jax.lax.shift_right_logical(keys_col, 2 * AXIS_BITS)
@@ -112,10 +120,10 @@ def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
             wk = jnp.where(cols >= su - start, win_k[:, :], -2)  # (1, W)
             wx = win_x[:, :]                            # (W, Cin) bf16
             for k in groups[g]:                         # static unroll
-                q = base_q + deltas[k]
+                q = keys_col + deltas[k]
                 ok = valid_row
                 if guard:
-                    dx, dy, dz = offs[k]
+                    dx, dy, dz = (v * scale for v in offs[k])
                     if dx != 0:
                         ok = ok & ((xf + dx >= 0) & (xf + dx < AXIS_MAX))
                     if dy != 0:
@@ -134,8 +142,7 @@ def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
     out_ref[:] = acc
 
 
-def _host_bases(keys_np, out_keys_np, deltas, groups, window, pad,
-                doubled=False):
+def _host_bases(keys_np, out_keys_np, deltas, groups, window, pad):
     """Per (tile, group) window start + chunk count from host searchsorted
     over one query per tile per offset (~tiles*K queries, microseconds).
 
@@ -143,9 +150,7 @@ def _host_bases(keys_np, out_keys_np, deltas, groups, window, pad,
     out_keys_np: (pad_out,) sorted int32 output keys."""
     n_in = int(np.searchsorted(keys_np, SENT_KEY))
     tiles = len(out_keys_np) // TILE
-    firsts = out_keys_np[::TILE].astype(np.int64)
-    if doubled:
-        firsts = firsts * 2
+    firsts = out_keys_np[::TILE][:tiles].astype(np.int64)
     G = len(groups)
     bases = np.zeros((tiles, G), np.int32)
     counts = np.zeros((tiles, G), np.int32)
@@ -166,11 +171,12 @@ def _host_bases(keys_np, out_keys_np, deltas, groups, window, pad,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('kernel_size', 'doubled', 'guard', 'window', 'interpret'))
+    static_argnames=('kernel_size', 'stride_child', 'scale', 'guard',
+                     'window', 'interpret'))
 def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
-             kernel_size=3, doubled=False, guard=True, window=WINDOW,
-             interpret=False):
-    """out[v] = sum_k x[match(key_out[v] * (2 if doubled) + delta_k)] @ w[k].
+             kernel_size=3, stride_child=False, scale=1, guard=True,
+             window=WINDOW, interpret=False):
+    """out[v] = sum_k x[match(key_out[v] + delta_k * scale)] @ w[k].
 
     x:            (B*pad_in, Cin) features, scene-interleaved, key-sorted
     keys_in_b:    (B, pad_in) int32 sorted keys (SENT-padded)
@@ -185,8 +191,8 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
     pad_out = n_out // B
     assert pad_out % TILE == 0, f'pad_out {pad_out} % {TILE}'
     window = min(window, pad)
-    offs = offsets_3d(kernel_size, stride_child=doubled)
-    deltas = [pack_delta(o) for o in offs]
+    offs = offsets_3d(kernel_size, stride_child=stride_child)
+    deltas = [pack_delta(o, scale) for o in offs]
     groups = group_by_dx(offs)
     kdim = len(offs)
     assert w.shape[0] == kdim
@@ -224,7 +230,7 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
         functools.partial(_kernel, groups=groups, deltas=deltas,
                           offs=[tuple(int(v) for v in o) for o in offs],
                           cin=cin, cout=cout, window=window, pad=pad,
-                          tiles=tiles, doubled=doubled, guard=guard),
+                          tiles=tiles, scale=scale, guard=guard),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
         interpret=interpret,
@@ -233,11 +239,11 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
 
 
 def key_conv_reference(x, keys_in_b, keys_out_b, w, kernel_size=3,
-                       doubled=False):
+                       stride_child=False, scale=1):
     """NumPy oracle: searchsorted matching, exact missing/boundary handling."""
     B, pad = keys_in_b.shape
     pad_out = keys_out_b.shape[1]
-    offs = offsets_3d(kernel_size, stride_child=doubled)
+    offs = offsets_3d(kernel_size, stride_child=stride_child)
     out = np.zeros((B, pad_out, w.shape[2]), np.float32)
     xs = np.asarray(x).reshape(B, pad, -1)
     for b in range(B):
@@ -250,14 +256,11 @@ def key_conv_reference(x, keys_in_b, keys_out_b, w, kernel_size=3,
         yf = (kq >> AXIS_BITS) & (AXIS_MAX - 1)
         zf = kq & (AXIS_MAX - 1)
         for k, (dx, dy, dz) in enumerate(offs):
-            if doubled:
-                q = 2 * kq + pack_delta((dx, dy, dz))
-                ok = valid
-            else:
-                q = kq + pack_delta((dx, dy, dz))
-                ok = (valid & (xf + dx >= 0) & (xf + dx < AXIS_MAX)
-                      & (yf + dy >= 0) & (yf + dy < AXIS_MAX)
-                      & (zf + dz >= 0) & (zf + dz < AXIS_MAX))
+            q = kq + pack_delta((dx, dy, dz), scale)
+            sx, sy, sz = dx * scale, dy * scale, dz * scale
+            ok = (valid & (xf + sx >= 0) & (xf + sx < AXIS_MAX)
+                  & (yf + sy >= 0) & (yf + sy < AXIS_MAX)
+                  & (zf + sz >= 0) & (zf + sz < AXIS_MAX))
             pos = np.searchsorted(keys[:n_in], q)
             hit = ok & (pos < n_in) & (keys[np.minimum(pos, n_in - 1)] == q)
             src = np.where(hit, pos, 0)
@@ -276,23 +279,24 @@ def host_conv_plans(keys_levels, vox_bucket=4096, stem_kernel=5):
     plans = {}
     offs3 = offsets_3d(3)
     g3 = group_by_dx(offs3)
-    d3 = [pack_delta(o) for o in offs3]
     offs5 = offsets_3d(stem_kernel)
     g5 = group_by_dx(offs5)
-    d5 = [pack_delta(o) for o in offs5]
     offsd = offsets_3d(2, stride_child=True)
     gd = group_by_dx(offsd)
-    dd = [pack_delta(o) for o in offsd]
     for l, keys in enumerate(keys_levels):
+        scale = 1 << l
         pad = len(keys)
         win = min(WINDOW, pad)
+        d3 = [pack_delta(o, scale) for o in offs3]
         plans[f'kc3_base{l}'], plans[f'kc3_cnt{l}'] = _host_bases(
             keys, keys, d3, g3, win, pad)
         if l == 0:
+            d5 = [pack_delta(o) for o in offs5]
             plans[f'kc5_base{l}'], plans[f'kc5_cnt{l}'] = _host_bases(
                 keys, keys, d5, g5, win, pad)
         if l + 1 < len(keys_levels):
             coarse = keys_levels[l + 1]
+            dd = [pack_delta(o, scale) for o in offsd]
             plans[f'kcd_base{l}'], plans[f'kcd_cnt{l}'] = _host_bases(
-                keys, coarse, dd, gd, win, pad, doubled=True)
+                keys, coarse, dd, gd, win, pad)
     return plans

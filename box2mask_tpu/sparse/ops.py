@@ -38,6 +38,16 @@ def gather_conv(x, nbr, w, compute_dtype=jnp.bfloat16, unroll_threshold=9,
     With use_pallas=True (and tile-aligned shapes) dispatches to the fused
     window-gather MXU kernel (sparse/pallas_conv.py).
     """
+    if isinstance(nbr, dict):
+        # key_conv window-plan operand (sparse/key_conv.py): the conv matches
+        # packed keys in-window inside the kernel — no neighbor map exists
+        from box2mask_tpu.sparse import key_conv as KC
+        ksize, stride_child, scale = nbr['static']
+        return KC.key_conv(
+            x, nbr['keys_in'], nbr['keys_out_col'], nbr['bases'],
+            nbr['counts'], w, kernel_size=ksize, stride_child=stride_child,
+            scale=scale, guard=not stride_child,
+            interpret=jax.default_backend() != 'tpu')
     K = w.shape[0]
     if use_pallas:
         from box2mask_tpu.sparse import pallas_conv as PC

@@ -3,10 +3,13 @@
 
 Usage: python scripts/ab_key_conv.py [cin] [cout] [reps]
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from box2mask_tpu import runtime
 

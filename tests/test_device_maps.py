@@ -132,3 +132,45 @@ def test_maps_at_coordinate_extremes():
         np.testing.assert_array_equal(got, host[f'nmap3_{l}'])
     got5 = normalize(np.asarray(dev['nmap5_0'])[:int(host['num0'])], pads[0])
     np.testing.assert_array_equal(got5, host['nmap5_0'])
+
+
+def test_forward_equivalence_key_conv():
+    """Full network forward with key_conv window plans (interpret-mode pallas)
+    must match the nmap device-maps forward."""
+    from tests.test_model_forward import make_cfg
+    from box2mask_tpu.datasets import synthetic, supervision
+    from box2mask_tpu.datasets.voxelize import voxelize_scene
+    from box2mask_tpu.datasets.batching import build_batch
+    from box2mask_tpu.datasets.tables import get_tables
+    from box2mask_tpu.engine import state as S
+
+    cfg = make_cfg(['--vox_bucket', '256', '--key_conv_force'])
+    _, sem_id2idx, _, _ = get_tables('scannet')
+    rets = []
+    for s in (3, 4):
+        scene, labels = synthetic.make_scene(seed=s, num_instances=3,
+                                             points_per_instance=150,
+                                             floor_points=600, wall_points=400)
+        ret = voxelize_scene(scene, cfg)
+        ret['labels'] = labels
+        supervision.build_supervision(ret, labels, scene, cfg, 'scannet')
+        rets.append(ret)
+    dev_nmap, _ = build_batch(rets, cfg, sem_id2idx, mode='train',
+                              device_maps=True)
+    dev_kc, _ = build_batch(rets, cfg, sem_id2idx, mode='val',
+                            device_maps=True)
+    assert 'kc3_base0' in dev_kc and 'kc3_base0' not in dev_nmap
+    assert 'up_parent0' in dev_kc
+
+    model = S.build_model(cfg, num_classes=20)
+    fwd = S.make_forward(cfg, model)
+    bn = {k: jnp.asarray(v) for k, v in dev_nmap.items()}
+    bk = {k: jnp.asarray(v) for k, v in dev_kc.items()}
+    variables = S.init_variables(model, bn)
+    out_n = fwd(variables['params'], variables['batch_stats'], bn)
+    out_k = fwd(variables['params'], variables['batch_stats'], bk)
+    Sv = int(dev_nmap['num_segments'])
+    for k in out_n:
+        np.testing.assert_allclose(np.asarray(out_n[k])[:Sv],
+                                   np.asarray(out_k[k])[:Sv],
+                                   rtol=2e-3, atol=2e-3)

@@ -1,41 +1,43 @@
-"""key_conv pallas kernel (interpret mode) vs the NumPy searchsorted oracle
-and vs the nmap gather_conv path on real voxelized scenes."""
+"""key_conv pallas kernel (interpret mode) vs the NumPy searchsorted oracle.
+
+Level keys follow host_level_keys' convention: every level stores floored
+ORIGINAL-scale coords, so level-l offsets are +-2^l per field and the down
+conv's child offsets are {0,1}*2^l.
+"""
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from box2mask_tpu.sparse import key_conv as KC
 from box2mask_tpu.sparse.device_maps import SENT_KEY
 
 
-def make_keys(rng, n, pad, spread=24):
-    """Sorted unique packed keys from random small coords (dense enough that
-    many neighbors exist, incl. axis-0 boundaries)."""
+def floor_keys(keys, level):
+    m = np.int64((1 << level) - 1)
+    mask = ~((m << 20) | (m << 10) | m)
+    return np.unique(keys.astype(np.int64) & mask).astype(np.int32)
+
+
+def make_keys(rng, n, pad, spread=24, level=0):
     c = rng.integers(0, spread, size=(n * 2, 3))
-    keys = np.unique((c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2])[:n]
+    keys = np.unique((c[:, 0] << 20) | (c[:, 1] << 10) | c[:, 2])
+    keys = floor_keys(keys, level)[:n]
     out = np.full(pad, int(SENT_KEY), np.int32)
     out[:len(keys)] = keys
     return out, len(keys)
 
 
-def run_case(kernel_size=3, doubled=False, B=1, pad=512, cin=16, cout=8,
-             seed=0):
+def run_case(kernel_size=3, stride_child=False, B=1, pad=512, cin=16, cout=8,
+             seed=0, level=0, window=None, spread=24):
     rng = np.random.default_rng(seed)
+    scale = 1 << level
     keys_in, keys_out, xs = [], [], []
     for b in range(B):
-        ki, n = make_keys(rng, pad - 37 * (b + 1), pad)
+        ki, n = make_keys(rng, pad - 37 * (b + 1), pad,
+                          spread=spread * scale, level=level)
         keys_in.append(ki)
-        if doubled:
-            fine = ki[ki < SENT_KEY]
-            coarse = np.unique((fine >> 1) & ~np.int32((1 << 20) | (1 << 10)
-                                                       | 0))
-            # coarse key fields = floor(fine fields / 2): strip the low bit
-            # of every field
-            x_f = (fine >> 20) >> 1
-            y_f = ((fine >> 10) & 1023) >> 1
-            z_f = (fine & 1023) >> 1
-            coarse = np.unique((x_f << 20) | (y_f << 10) | z_f)
+        if stride_child:
+            coarse = floor_keys(ki[ki < SENT_KEY], level + 1)
             ko = np.full(pad, int(SENT_KEY), np.int32)
             ko[:len(coarse)] = coarse
             keys_out.append(ko)
@@ -47,27 +49,29 @@ def run_case(kernel_size=3, doubled=False, B=1, pad=512, cin=16, cout=8,
     keys_in_b = np.stack(keys_in)
     keys_out_b = np.stack(keys_out)
     x = np.concatenate(xs, axis=0)
-    K = 8 if doubled else kernel_size ** 3
-    w = rng.normal(size=(K, cin, cout)).astype(np.float32) * 0.1
+    K = 8 if stride_child else kernel_size ** 3
+    w = (rng.normal(size=(K, cin, cout)) * 0.1).astype(np.float32)
 
-    offs = KC.offsets_3d(2 if doubled else kernel_size, stride_child=doubled)
-    deltas = [KC.pack_delta(o) for o in offs]
+    offs = KC.offsets_3d(2 if stride_child else kernel_size,
+                         stride_child=stride_child)
+    deltas = [KC.pack_delta(o, scale) for o in offs]
     groups = KC.group_by_dx(offs)
-    win = min(KC.WINDOW, pad)
+    win = window or min(KC.WINDOW, pad)
     bases = np.zeros((B, pad // KC.TILE, len(groups)), np.int32)
     counts = np.zeros_like(bases)
     for b in range(B):
         bases[b], counts[b] = KC._host_bases(
-            keys_in_b[b], keys_out_b[b], deltas, groups, win, pad,
-            doubled=doubled)
+            keys_in_b[b], keys_out_b[b], deltas, groups, win, pad)
 
     got = KC.key_conv(
         jnp.asarray(x), jnp.asarray(keys_in_b),
         jnp.asarray(keys_out_b.reshape(-1, 1)), jnp.asarray(bases),
         jnp.asarray(counts), jnp.asarray(w),
-        kernel_size=kernel_size, doubled=doubled, interpret=True)
+        kernel_size=kernel_size, stride_child=stride_child, scale=scale,
+        guard=not stride_child, window=win, interpret=True)
     want = KC.key_conv_reference(x, keys_in_b, keys_out_b, w,
-                                 kernel_size=kernel_size, doubled=doubled)
+                                 kernel_size=kernel_size,
+                                 stride_child=stride_child, scale=scale)
     np.testing.assert_allclose(np.asarray(got), want, rtol=0.05, atol=0.05)
     assert np.abs(want).max() > 0.1       # non-trivial case
 
@@ -80,12 +84,20 @@ def test_same_level_batch2():
     run_case(kernel_size=3, B=2, seed=1)
 
 
+def test_same_level_scale2():
+    run_case(kernel_size=3, level=1, pad=256, seed=4)
+
+
 def test_stem_5x5():
     run_case(kernel_size=5, pad=256, seed=2)
 
 
 def test_down_conv():
-    run_case(doubled=True, seed=3)
+    run_case(stride_child=True, seed=3)
+
+
+def test_down_conv_scale2():
+    run_case(stride_child=True, level=1, pad=256, seed=6)
 
 
 def test_narrow_window_multi_chunk():
@@ -98,7 +110,7 @@ def test_narrow_window_multi_chunk():
     keys_in[:len(keys)] = keys
     x = rng.normal(size=(pad, cin)).astype(np.float32)
     x[len(keys):] = 0
-    w = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+    w = (rng.normal(size=(27, cin, cout)) * 0.1).astype(np.float32)
     offs = KC.offsets_3d(3)
     deltas = [KC.pack_delta(o) for o in offs]
     groups = KC.group_by_dx(offs)
@@ -113,3 +125,20 @@ def test_narrow_window_multi_chunk():
                       interpret=True)
     want = KC.key_conv_reference(x, kb, kb, w, kernel_size=3)
     np.testing.assert_allclose(np.asarray(got), want, rtol=0.05, atol=0.05)
+
+
+def test_host_conv_plans_shapes():
+    rng = np.random.default_rng(8)
+    keys0, _ = make_keys(rng, 400, 512)
+    levels = [keys0]
+    for l in range(1, 8):
+        fl = floor_keys(levels[-1][levels[-1] < SENT_KEY], l)
+        padded = np.full(256, int(SENT_KEY), np.int32)
+        padded[:min(len(fl), 256)] = fl[:256]
+        levels.append(padded)
+    plans = KC.host_conv_plans(levels)
+    assert plans['kc3_base0'].shape == (2, 3)
+    assert plans['kc5_base0'].shape == (2, 5)
+    assert plans['kcd_base0'].shape == (1, 2)     # coarse tiles at level 1
+    for l in range(1, 8):
+        assert plans[f'kc3_base{l}'].shape == (1, 3)
