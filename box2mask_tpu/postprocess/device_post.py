@@ -150,11 +150,21 @@ def device_masks_to_results(out, dev, host, valid_class_ids, scene_idx,
                             mode='eval'):
     """Host side: unpack the device result for one scene into the
     detection_to_masks result dict {conf, label_id, mask} (points in eval
-    mode, voxels otherwise)."""
-    n = int(out['n_keep'])
-    conf = np.asarray(out['conf'])[:n]
-    label_id = np.asarray(valid_class_ids)[np.asarray(out['label_idx'])[:n]]
-    packed = np.asarray(out['masks_packed'])[:n]
+    mode, voxels otherwise).
+
+    `out` may hold device arrays: only n_keep (4 bytes) and a
+    power-of-2-bucketed row slice of the packed masks are read back — the
+    device sits behind a high-RTT/low-BW tunnel, so shipping all max_masks
+    rows (4MB/scene) would dominate the scene wall time."""
+    n = int(np.asarray(out['n_keep']))
+    cap = out['masks_packed'].shape[0]
+    nb = 1
+    while nb < max(n, 1):
+        nb *= 2
+    nb = min(nb, cap)
+    conf = np.asarray(out['conf'][:nb])[:n]
+    label_id = np.asarray(valid_class_ids)[np.asarray(out['label_idx'][:nb])[:n]]
+    packed = np.asarray(out['masks_packed'][:nb])[:n]
     masks = np.unpackbits(packed, axis=1, bitorder='little') if n else \
         np.zeros((0, packed.shape[1] * 8), np.uint8)
 
