@@ -93,7 +93,8 @@ class Evaluater:
             pred = {k: np.asarray(v) for k, v in pred.items()}
             keep = {k: dev_np[k] for k in
                     ('num_segments', 'input_location', 'batch_ids', 'batch0',
-                     'num0') if k in dev_np}
+                     'num0', 'seg_valid', 'valid0', 'pooling_ids')
+                    if k in dev_np}
             entries.append((pred, keep, host))
             print(f'predicted {[s["name"] for s in host["scene"]]}')
         if cache:
@@ -123,8 +124,38 @@ class Evaluater:
         self._ensure_state({k: jnp.asarray(v) for k, v in dev_np.items()})
 
     def pred_entries_to_results(self, entries, ths=None):
-        """pred2mask over all batches (models/evaluation.py:94-98)."""
+        """pred2mask over all batches (models/evaluation.py:94-98).
+
+        On TPU the detection->masks pipeline runs on the chip
+        (postprocess/device_post.py, ~0.05s vs ~0.8s/scene host NumPy); the
+        thresholds are traced, so param_search re-runs it without recompiling.
+        Falls back to the host oracle on other backends or for prediction
+        caches written before the needed batch arrays were kept."""
+        import jax
+        need = ('pooling_ids', 'valid0', 'seg_valid', 'batch_ids',
+                'input_location')
+        use_device = (jax.default_backend() == 'tpu'
+                      and all(all(k in dev for k in need)
+                              for _, dev, _ in entries))
         results = {}
+        if use_device:
+            from box2mask_tpu.postprocess.device_post import (
+                make_device_postproc, device_masks_to_results)
+            if not hasattr(self, '_device_post'):
+                self._device_post = make_device_postproc(
+                    self.cfg, self.valid_class_ids, self.is_foreground)
+            ths_arr = jnp.asarray(ths if ths is not None else
+                                  self.cfg.eval_ths, jnp.float32)
+            for pred, dev, host in entries:
+                pred_j = {k: jnp.asarray(v) for k, v in pred.items()}
+                dev_j = {k: jnp.asarray(v) for k, v in dev.items()}
+                for si in range(len(host['scene'])):
+                    out = self._device_post(pred_j, dev_j, jnp.int32(si),
+                                            ths_arr)
+                    results.update(device_masks_to_results(
+                        out, dev, host, self.valid_class_ids, si,
+                        mode='eval'))
+            return results
         for pred, dev, host in entries:
             r = detection_to_masks(pred, dev, host, self.cfg,
                                    self.valid_class_ids, self.is_foreground,

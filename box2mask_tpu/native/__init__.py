@@ -45,8 +45,13 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32)]
+        lib.b2m_unpack_masks.restype = None
+        lib.b2m_unpack_masks.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
         _lib = None
     return _lib
 
@@ -70,3 +75,24 @@ def native_voxelize(scaled_points):
     if V < 0:
         return None
     return vox_coords[:V].copy(), vox2point, point2vox[:V].copy()
+
+
+def native_unpack_masks(packed, base_byte, vox2point):
+    """Point masks (R, P) uint8 from bit-packed voxel masks: fused bit test +
+    vox->point projection (one C pass instead of unpackbits + two fancy-index
+    copies — the post-readback hot loop of device_post). None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, np.uint8)
+    v2p = np.ascontiguousarray(vox2point, np.int32)
+    R, stride = packed.shape
+    P = len(v2p)
+    out = np.empty((R, P), np.uint8)
+    lib.b2m_unpack_masks(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int32(R), np.int32(stride), np.int32(base_byte),
+        v2p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np.int32(P),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out

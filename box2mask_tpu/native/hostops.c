@@ -25,13 +25,31 @@ typedef struct {
     int32_t idx;
 } KeyIdx;
 
-static int cmp_keyidx(const void* a, const void* b) {
-    const KeyIdx* ka = (const KeyIdx*)a;
-    const KeyIdx* kb = (const KeyIdx*)b;
-    if (ka->key < kb->key) return -1;
-    if (ka->key > kb->key) return 1;
-    /* stable on idx for deterministic inverse mapping */
-    return (ka->idx < kb->idx) ? -1 : (ka->idx > kb->idx);
+/* LSD radix sort on the 63-bit packed key, 16-bit digits (4 passes).
+ * Stable, so equal keys keep ascending point order (deterministic inverse
+ * maps) — and ~4x faster than qsort's comparator calls at 100k+ points. */
+static int radix_sort_keyidx(KeyIdx* a, int32_t n) {
+    KeyIdx* tmp = (KeyIdx*)malloc(sizeof(KeyIdx) * (size_t)n);
+    if (!tmp) return -1;
+    static const int R = 1 << 16;
+    int32_t* count = (int32_t*)malloc(sizeof(int32_t) * (size_t)R);
+    if (!count) { free(tmp); return -1; }
+    KeyIdx* src = a; KeyIdx* dst = tmp;
+    for (int pass = 0; pass < 4; pass++) {
+        const int shift = 16 * pass;
+        memset(count, 0, sizeof(int32_t) * (size_t)R);
+        for (int32_t i = 0; i < n; i++)
+            count[(src[i].key >> shift) & 0xFFFF]++;
+        if (count[(src[0].key >> shift) & 0xFFFF] == n) continue; /* all equal */
+        int32_t sum = 0;
+        for (int d = 0; d < R; d++) { int32_t c = count[d]; count[d] = sum; sum += c; }
+        for (int32_t i = 0; i < n; i++)
+            dst[count[(src[i].key >> shift) & 0xFFFF]++] = src[i];
+        KeyIdx* sw = src; src = dst; dst = sw;
+    }
+    if (src != a) memcpy(a, src, sizeof(KeyIdx) * (size_t)n);
+    free(tmp); free(count);
+    return 0;
 }
 
 #define SHIFT 21
@@ -79,7 +97,7 @@ int32_t b2m_voxelize(const float* scaled_pts, int32_t P,
         ki[i].key = pack3(x, y, z);
         ki[i].idx = i;
     }
-    qsort(ki, (size_t)P, sizeof(KeyIdx), cmp_keyidx);
+    if (radix_sort_keyidx(ki, P) != 0) { free(ki); free(pcoord); return -1; }
 
     /* unique + inverse */
     int64_t* ukeys = (int64_t*)malloc(sizeof(int64_t) * (size_t)P);
@@ -108,35 +126,65 @@ int32_t b2m_voxelize(const float* scaled_pts, int32_t P,
         starts[V] = P;
     }
 
-    /* exact nearest point per voxel over the 3^3 neighborhood */
-    for (int32_t v = 0; v < V; v++) {
-        const float cx = (float)vox_coords[3 * v];
-        const float cy = (float)vox_coords[3 * v + 1];
-        const float cz = (float)vox_coords[3 * v + 2];
-        float best = 1e30f;
-        int32_t best_i = ki[starts[v]].idx;
-        for (int dx = -1; dx <= 1; dx++)
-        for (int dy = -1; dy <= 1; dy++)
-        for (int dz = -1; dz <= 1; dz++) {
-            int64_t q = pack3(vox_coords[3 * v] + dx, vox_coords[3 * v + 1] + dy,
-                              vox_coords[3 * v + 2] + dz);
-            int32_t nv = lookup_key(ukeys, V, q);
-            if (nv < 0) continue;
-            for (int32_t s = starts[nv]; s < starts[nv + 1]; s++) {
-                const int32_t p = ki[s].idx;
-                const float ddx = scaled_pts[3 * p] - cx;
-                const float ddy = scaled_pts[3 * p + 1] - cy;
-                const float ddz = scaled_pts[3 * p + 2] - cz;
-                const float d = ddx * ddx + ddy * ddy + ddz * ddz;
-                if (d < best || (d == best && p < best_i)) {
-                    best = d;
-                    best_i = p;
+    /* Exact nearest point per voxel over the 3^3 neighborhood.
+     * Voxels ascend in key order, so for each of the 9 (dx,dy) column pairs
+     * the neighbor key range [q-1, q+1] (the three dz candidates are three
+     * CONSECUTIVE key integers) advances monotonically -> one merge pointer
+     * per pair, O(27V) total instead of 27 binary searches per voxel. */
+    {
+        int32_t ptr[9];
+        for (int j = 0; j < 9; j++) ptr[j] = 0;
+        for (int32_t v = 0; v < V; v++) {
+            const float cx = (float)vox_coords[3 * v];
+            const float cy = (float)vox_coords[3 * v + 1];
+            const float cz = (float)vox_coords[3 * v + 2];
+            float best = 1e30f;
+            int32_t best_i = ki[starts[v]].idx;
+            int j = 0;
+            for (int dx = -1; dx <= 1; dx++)
+            for (int dy = -1; dy <= 1; dy++, j++) {
+                const int64_t q0 = pack3(vox_coords[3 * v] + dx,
+                                         vox_coords[3 * v + 1] + dy,
+                                         vox_coords[3 * v + 2] - 1);
+                int32_t p0 = ptr[j];
+                while (p0 < V && ukeys[p0] < q0) p0++;
+                ptr[j] = p0;
+                for (int32_t nv = p0; nv < V && ukeys[nv] <= q0 + 2; nv++) {
+                    for (int32_t s = starts[nv]; s < starts[nv + 1]; s++) {
+                        const int32_t p = ki[s].idx;
+                        const float ddx = scaled_pts[3 * p] - cx;
+                        const float ddy = scaled_pts[3 * p + 1] - cy;
+                        const float ddz = scaled_pts[3 * p + 2] - cz;
+                        const float d = ddx * ddx + ddy * ddy + ddz * ddz;
+                        if (d < best || (d == best && p < best_i)) {
+                            best = d;
+                            best_i = p;
+                        }
+                    }
                 }
             }
+            point2vox[v] = best_i;
         }
-        point2vox[v] = best_i;
     }
 
     free(ki); free(pcoord); free(ukeys); free(starts);
     return V;
+}
+
+/* Unpack bit-packed voxel masks and project voxel->point in one pass.
+ * packed: (R, stride) bytes, voxel v of this scene at BIT offset v (the
+ * scene's voxel columns start at byte offset base_byte, base_byte*8 must be
+ * the scene's first voxel column); vox2point: (P,) voxel row per point.
+ * out: (R, P) uint8 point masks. */
+void b2m_unpack_masks(const uint8_t* packed, int32_t R, int32_t stride,
+                      int32_t base_byte, const int32_t* vox2point, int32_t P,
+                      uint8_t* out) {
+    for (int32_t r = 0; r < R; r++) {
+        const uint8_t* row = packed + (size_t)r * stride + base_byte;
+        uint8_t* o = out + (size_t)r * P;
+        for (int32_t p = 0; p < P; p++) {
+            const int32_t v = vox2point[p];
+            o[p] = (row[v >> 3] >> (v & 7)) & 1;
+        }
+    }
 }

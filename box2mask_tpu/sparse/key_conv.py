@@ -110,8 +110,12 @@ def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
             start = pl.multiple_of(jnp.minimum(su, pad - window), 128)
             cpx = pltpu.make_async_copy(
                 x_hbm.at[pl.ds(b * pad + start, window), :], win_x, sem_x)
+            # keys arrive as a single (1, B*pad) row: only the (128-aligned)
+            # lane dimension is sliced — a size-1 sublane slice of a (B, pad)
+            # array trips Mosaic's (4,128) int32 tiling for B > 1
             cpk = pltpu.make_async_copy(
-                keys_hbm.at[pl.ds(b, 1), pl.ds(start, window)], win_k, sem_k)
+                keys_hbm.at[pl.ds(0, 1), pl.ds(b * pad + start, window)],
+                win_k, sem_k)
             cpx.start()
             cpk.start()
             cpk.wait()
@@ -234,7 +238,8 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
         interpret=interpret,
-    )(bases.reshape(-1), counts.reshape(-1), keys_out_col, wp, xp, keys_in_b)
+    )(bases.reshape(-1), counts.reshape(-1), keys_out_col, wp, xp,
+      keys_in_b.reshape(1, -1))
     return out[:, :w.shape[2]]
 
 
