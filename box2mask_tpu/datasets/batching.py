@@ -194,7 +194,7 @@ def _build_batch_small(rets, cfg, sem_id2idx, mode, level_pads=None,
         dev[f'keys{l}_b'] = kb
 
     if (mode != 'train' and getattr(cfg, 'key_conv', 'off') == 'eval'
-            and all(p % 256 == 0 for p in pads) and _key_conv_backend_ok(cfg)):
+            and all(p % 128 == 0 for p in pads) and _key_conv_backend_ok(cfg)):
         # inference conv path: per-tile window plans + host up-maps instead of
         # on-device neighbor maps (sparse/key_conv.py; a few KB per scene)
         from box2mask_tpu.sparse import key_conv as KC

@@ -41,8 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from box2mask_tpu.sparse.device_maps import AXIS_BITS, AXIS_MAX, SENT_KEY
 
-TILE = 256          # output rows per grid step
-WINDOW = 512        # input rows per window chunk (multiple of 128)
+# measured-best on v5e at 118k voxels/96ch (scripts/ab_key_conv.py sweep):
+# 128/384 = 3.2ms/conv vs 4.3 at 256/512 and 8.3 for the XLA gather path
+TILE = 128          # output rows per grid step (overridable per call)
+WINDOW = 384        # input rows per window chunk (multiple of 128)
 
 
 def _round128(c):
@@ -85,7 +87,7 @@ def group_by_dx(offs):
 def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
             out_ref, win_x, win_k, sem_x, sem_k, *,
             groups, deltas, offs, cin, cout, window, pad, tiles,
-            scale, guard):
+            scale, guard, tile):
     b = pl.program_id(0)
     t = pl.program_id(1)
     flat = b * tiles + t
@@ -97,7 +99,7 @@ def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
         zf = keys_col & (AXIS_MAX - 1)
     valid_row = keys_col < SENT_KEY                     # (T, 1)
 
-    acc = jnp.zeros((TILE, cout), jnp.float32)
+    acc = jnp.zeros((tile, cout), jnp.float32)
     G = len(groups)
     for g in range(G):                                  # static
         base = bases_ref[flat * G + g]
@@ -146,15 +148,16 @@ def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
     out_ref[:] = acc
 
 
-def _host_bases(keys_np, out_keys_np, deltas, groups, window, pad):
+def _host_bases(keys_np, out_keys_np, deltas, groups, window, pad,
+                tile=TILE):
     """Per (tile, group) window start + chunk count from host searchsorted
     over one query per tile per offset (~tiles*K queries, microseconds).
 
     keys_np: (pad,) sorted int32 input keys (SENT-padded);
     out_keys_np: (pad_out,) sorted int32 output keys."""
     n_in = int(np.searchsorted(keys_np, SENT_KEY))
-    tiles = len(out_keys_np) // TILE
-    firsts = out_keys_np[::TILE][:tiles].astype(np.int64)
+    tiles = len(out_keys_np) // tile
+    firsts = out_keys_np[::tile][:tiles].astype(np.int64)
     G = len(groups)
     bases = np.zeros((tiles, G), np.int32)
     counts = np.zeros((tiles, G), np.int32)
@@ -176,10 +179,10 @@ def _host_bases(keys_np, out_keys_np, deltas, groups, window, pad):
 @functools.partial(
     jax.jit,
     static_argnames=('kernel_size', 'stride_child', 'scale', 'guard',
-                     'window', 'interpret'))
+                     'window', 'tile', 'interpret'))
 def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
              kernel_size=3, stride_child=False, scale=1, guard=True,
-             window=WINDOW, interpret=False):
+             window=WINDOW, tile=TILE, interpret=False):
     """out[v] = sum_k x[match(key_out[v] + delta_k * scale)] @ w[k].
 
     x:            (B*pad_in, Cin) features, scene-interleaved, key-sorted
@@ -193,14 +196,14 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
     B, pad = keys_in_b.shape
     n_out = keys_out_col.shape[0]
     pad_out = n_out // B
-    assert pad_out % TILE == 0, f'pad_out {pad_out} % {TILE}'
+    assert pad_out % tile == 0, f'pad_out {pad_out} % {tile}'
     window = min(window, pad)
     offs = offsets_3d(kernel_size, stride_child=stride_child)
     deltas = [pack_delta(o, scale) for o in offs]
     groups = group_by_dx(offs)
     kdim = len(offs)
     assert w.shape[0] == kdim
-    tiles = pad_out // TILE
+    tiles = pad_out // tile
     G = len(groups)
 
     cin, cout = _round128(cin_raw), _round128(w.shape[2])
@@ -213,15 +216,14 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
         num_scalar_prefetch=2,
         grid=(B, tiles),
         in_specs=[
-            pl.BlockSpec((TILE, 1), lambda b, t, *_: (b * (n_out // B // TILE)
-                                                      + t, 0),
+            pl.BlockSpec((tile, 1), lambda b, t, *_: (b * tiles + t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),      # weights
             pl.BlockSpec(memory_space=pl.ANY),          # x in HBM
             pl.BlockSpec(memory_space=pl.ANY),          # keys in HBM
         ],
         out_specs=pl.BlockSpec(
-            (TILE, cout), lambda b, t, *_: (b * (n_out // B // TILE) + t, 0),
+            (tile, cout), lambda b, t, *_: (b * tiles + t, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((window, cin), jnp.bfloat16),
@@ -234,7 +236,7 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
         functools.partial(_kernel, groups=groups, deltas=deltas,
                           offs=[tuple(int(v) for v in o) for o in offs],
                           cin=cin, cout=cout, window=window, pad=pad,
-                          tiles=tiles, scale=scale, guard=guard),
+                          tiles=tiles, scale=scale, guard=guard, tile=tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
         interpret=interpret,

@@ -30,6 +30,8 @@ def main():
     cin = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     cout = int(sys.argv[2]) if len(sys.argv) > 2 else 96
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    tile = int(sys.argv[4]) if len(sys.argv) > 4 else KC.TILE
+    win_arg = int(sys.argv[5]) if len(sys.argv) > 5 else KC.WINDOW
 
     cfg = get_config(['--config', 'configs/synthetic.txt'])
     scene, _ = synthetic.make_scene(
@@ -64,10 +66,11 @@ def main():
     # --- key_conv plans
     deltas = [KC.pack_delta(o) for o in offs]
     groups = KC.group_by_dx(offs)
-    win = min(KC.WINDOW, pad)
+    win = min(win_arg, pad)
     t0 = time.time()
-    bases, counts = KC._host_bases(keys_p, keys_p, deltas, groups, win, pad)
-    print(f'host plan {time.time() - t0:.4f}s  mean chunks/tile '
+    bases, counts = KC._host_bases(keys_p, keys_p, deltas, groups, win, pad,
+                                   tile=tile)
+    print(f'tile {tile} win {win} host plan {time.time() - t0:.4f}s  mean chunks/tile '
           f'{counts.mean(axis=0)}')
 
     xj = jnp.asarray(x)
@@ -79,7 +82,7 @@ def main():
 
     f_xla = jax.jit(lambda x, nbr, w: ops.gather_conv(x, nbr, w))
     f_key = jax.jit(lambda x, kb, kcol, b, c, w: KC.key_conv(
-        x, kb, kcol, b, c, w, kernel_size=3))
+        x, kb, kcol, b, c, w, kernel_size=3, tile=tile, window=win))
 
     o1 = f_xla(xj, nbrj, wj).block_until_ready()
     o2 = f_key(xj, kb, kcol, bj, cj, wj).block_until_ready()

@@ -137,8 +137,10 @@ def test_host_conv_plans_shapes():
         padded[:min(len(fl), 256)] = fl[:256]
         levels.append(padded)
     plans = KC.host_conv_plans(levels)
-    assert plans['kc3_base0'].shape == (2, 3)
-    assert plans['kc5_base0'].shape == (2, 5)
-    assert plans['kcd_base0'].shape == (1, 2)     # coarse tiles at level 1
+    t0 = 512 // KC.TILE
+    t1 = 256 // KC.TILE
+    assert plans['kc3_base0'].shape == (t0, 3)
+    assert plans['kc5_base0'].shape == (t0, 5)
+    assert plans['kcd_base0'].shape == (t1, 2)    # coarse tiles at level 1
     for l in range(1, 8):
-        assert plans[f'kc3_base{l}'].shape == (1, 3)
+        assert plans[f'kc3_base{l}'].shape == (t1, 3)
