@@ -204,10 +204,10 @@ def config_parser():
         choices=['auto', 'on', 'off'],
         help='Fused pallas gather-GEMM sparse conv: auto = on TPU only.')
     add('--key_conv', type=str, default='eval',
-        choices=['eval', 'off'],
+        choices=['on', 'eval', 'off'],
         help='In-window packed-key-matching pallas conv (sparse/key_conv.py):'
-             ' no neighbor maps are built for the conv path. eval = use for'
-             ' val/test batches (inference); training uses the nmap path.')
+             ' no neighbor maps are built for the conv path. eval = val/test'
+             ' batches only; on = training too (exact custom-VJP backward).')
     add('--key_conv_force', default=False, action='store_true',
         help='Emit key_conv window plans on non-TPU backends too (tests use '
              'the interpret-mode kernel).')

@@ -193,7 +193,8 @@ def _build_batch_small(rets, cfg, sem_id2idx, mode, level_pads=None,
             kb[i, :len(ks[l])] = ks[l]
         dev[f'keys{l}_b'] = kb
 
-    if (mode != 'train' and getattr(cfg, 'key_conv', 'off') == 'eval'
+    kc = getattr(cfg, 'key_conv', 'off')
+    if ((kc == 'on' or (kc == 'eval' and mode != 'train'))
             and all(p % 128 == 0 for p in pads) and _key_conv_backend_ok(cfg)):
         # inference conv path: per-tile window plans + host up-maps instead of
         # on-device neighbor maps (sparse/key_conv.py; a few KB per scene)

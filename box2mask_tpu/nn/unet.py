@@ -83,13 +83,17 @@ class SelectionNet(nn.Module):
                 return batch[{'3': f'nmap3_{l}', '5': 'nmap5_0',
                               'd': f'down{l}'}[kind]]
             out_l = l + 1 if kind == 'd' else l
-            return dict(keys_in=batch[f'keys{l}_b'],
-                        keys_out_col=batch[f'keys{out_l}_b'].reshape(-1, 1),
-                        bases=batch[plan],
-                        counts=batch[plan.replace('base', 'cnt')],
-                        static=(({'3': 3, '5': self.stem_kernel,
-                                  'd': 2}[kind]),
-                                kind == 'd', 1 << l))
+            op = dict(keys_in=batch[f'keys{l}_b'],
+                      keys_out_col=batch[f'keys{out_l}_b'].reshape(-1, 1),
+                      bases=batch[plan],
+                      counts=batch[plan.replace('base', 'cnt')],
+                      static=(({'3': 3, '5': self.stem_kernel,
+                                'd': 2}[kind]),
+                              kind == 'd', 1 << l))
+            if kind == 'd':           # backward = transpose-conv structure
+                op['up_parent'] = batch[f'up_parent{l}']
+                op['up_widx'] = batch[f'up_widx{l}']
+            return op
 
         def blocks(x, level, planes, stage):
             nbr = conv_operand(level, '3')

@@ -307,3 +307,214 @@ def host_conv_plans(keys_levels, vox_bucket=4096, stem_kernel=5):
             plans[f'kcd_base{l}'], plans[f'kcd_cnt{l}'] = _host_bases(
                 keys, coarse, dd, gd, win, pad)
     return plans
+
+
+# --------------------------------------------------------------- training path
+def _dw_kernel(bases_ref, counts_ref, keys_col_ref, g_ref, x_hbm, keys_hbm,
+               dw_ref, win_x, win_k, sem_x, sem_k, *,
+               groups, deltas, offs, cin, cout, window, pad, tiles,
+               scale, guard, tile):
+    """dw[k] += (onehot_k @ win_x)^T @ g_tile, accumulated over the grid
+    (same windows as the forward; the output block revisits every step)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    flat = b * tiles + t
+
+    @pl.when((b == 0) & (t == 0))
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    keys_col = keys_col_ref[:, :]
+    if guard:
+        xf = jax.lax.shift_right_logical(keys_col, 2 * AXIS_BITS)
+        yf = jax.lax.shift_right_logical(keys_col, AXIS_BITS) & (AXIS_MAX - 1)
+        zf = keys_col & (AXIS_MAX - 1)
+    valid_row = keys_col < SENT_KEY
+    g_tile = g_ref[:, :].astype(jnp.bfloat16)           # (T, Cout)
+
+    G = len(groups)
+    for g in range(G):
+        base = bases_ref[flat * G + g]
+        cnt = counts_ref[flat * G + g]
+
+        def chunk_body(c, _):
+            su = base + c * window
+            start = pl.multiple_of(jnp.minimum(su, pad - window), 128)
+            cpx = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(b * pad + start, window), :], win_x, sem_x)
+            cpk = pltpu.make_async_copy(
+                keys_hbm.at[pl.ds(0, 1), pl.ds(b * pad + start, window)],
+                win_k, sem_k)
+            cpx.start()
+            cpk.start()
+            cpk.wait()
+            cpx.wait()
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+            wk = jnp.where(cols >= su - start, win_k[:, :], -2)
+            wx = win_x[:, :]
+            for k in groups[g]:
+                q = keys_col + deltas[k]
+                ok = valid_row
+                if guard:
+                    dx, dy, dz = (v * scale for v in offs[k])
+                    if dx != 0:
+                        ok = ok & ((xf + dx >= 0) & (xf + dx < AXIS_MAX))
+                    if dy != 0:
+                        ok = ok & ((yf + dy >= 0) & (yf + dy < AXIS_MAX))
+                    if dz != 0:
+                        ok = ok & ((zf + dz >= 0) & (zf + dz < AXIS_MAX))
+                qm = jnp.where(ok, q, -1)
+                oh = jnp.where(wk == qm, jnp.float32(1),
+                               jnp.float32(0)).astype(jnp.bfloat16)
+                gath = jnp.dot(oh, wx, preferred_element_type=jnp.float32)
+                dw_ref[k] += jax.lax.dot_general(
+                    gath.astype(jnp.bfloat16), g_tile,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, cnt, chunk_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('kernel_size', 'stride_child', 'scale', 'guard',
+                     'window', 'tile', 'interpret'))
+def key_conv_dw(x, g, keys_in_b, keys_out_col, bases, counts, *,
+                kernel_size=3, stride_child=False, scale=1, guard=True,
+                window=WINDOW, tile=TILE, kdim=None, cin=None, cout=None,
+                interpret=False):
+    """dw[k] = sum_v x[match(key_out[v] + delta_k*scale)]^T g[v]."""
+    Bp_in, cin_raw = x.shape
+    cout_raw = g.shape[1]
+    B, pad = keys_in_b.shape
+    n_out = keys_out_col.shape[0]
+    pad_out = n_out // B
+    window = min(window, pad)
+    offs = offsets_3d(kernel_size, stride_child=stride_child)
+    deltas = [pack_delta(o, scale) for o in offs]
+    groups = group_by_dx(offs)
+    kdim = len(offs)
+    tiles = pad_out // tile
+    G = len(groups)
+    cin_p, cout_p = _round128(cin_raw), _round128(cout_raw)
+    xp = jnp.zeros((Bp_in, cin_p), jnp.bfloat16)
+    xp = xp.at[:, :cin_raw].set(x.astype(jnp.bfloat16))
+    gp = jnp.zeros((n_out, cout_p), jnp.float32)
+    gp = gp.at[:, :cout_raw].set(g.astype(jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, tiles),
+        in_specs=[
+            pl.BlockSpec((tile, 1), lambda b, t, *_: (b * tiles + t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, cout_p), lambda b, t, *_: (b * tiles + t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((kdim, cin_p, cout_p),
+                               lambda b, t, *_: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((window, cin_p), jnp.bfloat16),
+            pltpu.VMEM((1, window), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    dw = pl.pallas_call(
+        functools.partial(_dw_kernel, groups=groups, deltas=deltas,
+                          offs=[tuple(int(v) for v in o) for o in offs],
+                          cin=cin_p, cout=cout_p, window=window, pad=pad,
+                          tiles=tiles, scale=scale, guard=guard, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((kdim, cin_p, cout_p), jnp.float32),
+        interpret=interpret,
+    )(bases.reshape(-1), counts.reshape(-1), keys_out_col, gp, xp,
+      keys_in_b.reshape(1, -1))
+    return dw[:, :cin_raw, :cout_raw]
+
+
+def _mirror_weights(w):
+    """w'[k] = w[K-1-k]^T: the backward conv's weights (odd kernels enumerate
+    x-major over symmetric ranges, so offset negation reverses the index)."""
+    return jnp.transpose(w[::-1], (0, 2, 1))
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9))
+def key_conv_train(x, keys_in_b, keys_out_col, bases, counts, w,
+                   kernel_size=3, scale=1, guard=True, window=WINDOW):
+    """Differentiable same-level key conv (3^3 / 5^3).
+
+    Backward needs NO extra plans: the gradient w.r.t. x is the same conv with
+    mirrored-transposed weights (the delta SET is symmetric, so the per-tile
+    window plans are identical), and dw accumulates through key_conv_dw over
+    the same windows. The stride-2 down conv's backward is the transpose-conv
+    structure instead (see ops.gather_conv dispatch)."""
+    return key_conv(x, keys_in_b, keys_out_col, bases, counts, w,
+                    kernel_size=kernel_size, scale=scale, guard=guard,
+                    window=window,
+                    interpret=jax.default_backend() != 'tpu')
+
+
+def _kct_fwd(x, keys_in_b, keys_out_col, bases, counts, w,
+             kernel_size, scale, guard, window):
+    out = key_conv_train(x, keys_in_b, keys_out_col, bases, counts, w,
+                         kernel_size, scale, guard, window)
+    return out, (x, keys_in_b, keys_out_col, bases, counts, w)
+
+
+def _kct_bwd(kernel_size, scale, guard, window, res, gout):
+    x, keys_in_b, keys_out_col, bases, counts, w = res
+    interp = jax.default_backend() != 'tpu'
+    dx = key_conv(gout, keys_in_b, keys_out_col, bases, counts,
+                  _mirror_weights(w), kernel_size=kernel_size, scale=scale,
+                  guard=guard, window=window, interpret=interp)
+    dx = dx[:, :x.shape[1]].astype(x.dtype)
+    dw = key_conv_dw(x, gout, keys_in_b, keys_out_col, bases, counts,
+                     kernel_size=kernel_size, scale=scale, guard=guard,
+                     window=window, interpret=interp)
+    return (dx, None, None, None, None, dw.astype(w.dtype))
+
+
+key_conv_train.defvjp(_kct_fwd, _kct_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def key_conv_down_train(x, keys_in_b, keys_out_col, bases, counts,
+                        up_parent, up_widx, w, scale=1, window=WINDOW):
+    """Differentiable stride-2 down conv. Backward w.r.t. x is the
+    transpose-conv structure (every fine voxel has ONE parent and one weight
+    slot): dx[v] = g[up_parent[v]] @ w[up_widx[v]]^T — ops.up_conv with
+    transposed weights; dw accumulates via key_conv_dw."""
+    return key_conv(x, keys_in_b, keys_out_col, bases, counts, w,
+                    kernel_size=2, stride_child=True, scale=scale,
+                    guard=False, window=window,
+                    interpret=jax.default_backend() != 'tpu')
+
+
+def _kcd_fwd(x, keys_in_b, keys_out_col, bases, counts, up_parent, up_widx,
+             w, scale, window):
+    out = key_conv_down_train(x, keys_in_b, keys_out_col, bases, counts,
+                              up_parent, up_widx, w, scale, window)
+    return out, (x, keys_in_b, keys_out_col, bases, counts, up_parent,
+                 up_widx, w)
+
+
+def _kcd_bwd(scale, window, res, gout):
+    from box2mask_tpu.sparse import ops
+    x, keys_in_b, keys_out_col, bases, counts, up_parent, up_widx, w = res
+    dx = ops.up_conv(gout, up_parent, up_widx,
+                     jnp.transpose(w, (0, 2, 1)))[:, :x.shape[1]]
+    interp = jax.default_backend() != 'tpu'
+    dw = key_conv_dw(x, gout, keys_in_b, keys_out_col, bases, counts,
+                     kernel_size=2, stride_child=True, scale=scale,
+                     guard=False, window=window, interpret=interp)
+    return (dx.astype(x.dtype), None, None, None, None, None, None,
+            dw.astype(w.dtype))
+
+
+key_conv_down_train.defvjp(_kcd_fwd, _kcd_bwd)

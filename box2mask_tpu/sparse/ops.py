@@ -40,14 +40,19 @@ def gather_conv(x, nbr, w, compute_dtype=jnp.bfloat16, unroll_threshold=9,
     """
     if isinstance(nbr, dict):
         # key_conv window-plan operand (sparse/key_conv.py): the conv matches
-        # packed keys in-window inside the kernel — no neighbor map exists
+        # packed keys in-window inside the kernel — no neighbor map exists.
+        # The *_train wrappers carry exact custom VJPs, so the same path
+        # serves inference and training.
         from box2mask_tpu.sparse import key_conv as KC
         ksize, stride_child, scale = nbr['static']
-        return KC.key_conv(
+        if stride_child:
+            return KC.key_conv_down_train(
+                x, nbr['keys_in'], nbr['keys_out_col'], nbr['bases'],
+                nbr['counts'], nbr['up_parent'], nbr['up_widx'], w,
+                scale, KC.WINDOW)
+        return KC.key_conv_train(
             x, nbr['keys_in'], nbr['keys_out_col'], nbr['bases'],
-            nbr['counts'], w, kernel_size=ksize, stride_child=stride_child,
-            scale=scale, guard=not stride_child,
-            interpret=jax.default_backend() != 'tpu')
+            nbr['counts'], w, ksize, scale, True, KC.WINDOW)
     K = w.shape[0]
     if use_pallas:
         from box2mask_tpu.sparse import pallas_conv as PC

@@ -1,5 +1,7 @@
 """On-device coordinate-map builder vs the host oracle (sparse/coords.py)."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -174,3 +176,46 @@ def test_forward_equivalence_key_conv():
         np.testing.assert_allclose(np.asarray(out_n[k])[:Sv],
                                    np.asarray(out_k[k])[:Sv],
                                    rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.skipif(os.environ.get('B2M_SLOW_TESTS') != '1',
+                    reason='~4 min of interpret-mode pallas (~120 kernel '
+                           'invocations); the backward math is covered by '
+                           'test_key_conv grad tests, and scripts/'
+                           'check_train_key_conv.py runs this on real TPU')
+def test_train_step_key_conv_path():
+    """One train step through key_conv_train custom-VJP convs (interpret):
+    finite loss + parameter change."""
+    import jax
+    from tests.test_model_forward import make_cfg
+    from box2mask_tpu.datasets import synthetic, supervision
+    from box2mask_tpu.datasets.voxelize import voxelize_scene
+    from box2mask_tpu.datasets.batching import build_batch
+    from box2mask_tpu.datasets.tables import get_tables
+    from box2mask_tpu.engine import state as S
+
+    cfg = make_cfg(['--vox_bucket', '128', '--key_conv', 'on',
+                    '--key_conv_force'])
+    _, sem_id2idx, _, _ = get_tables('scannet')
+    scene, labels = synthetic.make_scene(seed=5, num_instances=2,
+                                         points_per_instance=80,
+                                         floor_points=300, wall_points=200)
+    ret = voxelize_scene(scene, cfg)
+    ret['labels'] = labels
+    supervision.build_supervision(ret, labels, scene, cfg, 'scannet')
+    dev, _ = build_batch([ret], cfg, sem_id2idx, mode='train',
+                         device_maps=True)
+    assert 'kc3_base0' in dev
+    batch = {k: jnp.asarray(v) for k, v in dev.items()}
+    model = S.build_model(cfg, num_classes=20)
+    tx = S.make_optimizer(cfg)
+    state = S.init_state(cfg, model, tx, batch)
+    step = S.make_train_step(cfg, model, tx, donate=False)
+    lr = jnp.float32(1e-3)
+    one = jnp.float32(1.0)
+    new_state, ld = step(state, batch, lr, one, one)
+    loss = float(ld['optimization_loss'])
+    assert np.isfinite(loss) and loss > 0
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state.params, new_state.params)
+    assert max(jax.tree.leaves(d)) > 0

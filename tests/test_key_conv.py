@@ -144,3 +144,129 @@ def test_host_conv_plans_shapes():
     assert plans['kcd_base0'].shape == (t1, 2)    # coarse tiles at level 1
     for l in range(1, 8):
         assert plans[f'kc3_base{l}'].shape == (t1, 3)
+
+
+def test_train_grads_match_nmap_path():
+    """value_and_grad through key_conv_train / key_conv_down_train must match
+    the XLA nmap gather_conv gradients (same math, different machinery)."""
+    import jax
+    from box2mask_tpu.sparse import ops
+
+    rng = np.random.default_rng(11)
+    pad, cin, cout = 256, 8, 8
+    ki, n = make_keys(rng, pad - 30, pad)
+    x = rng.normal(size=(pad, cin)).astype(np.float32)
+    x[n:] = 0
+    w = (rng.normal(size=(27, cin, cout)) * 0.1).astype(np.float32)
+
+    # nmap for the reference path
+    offs = KC.offsets_3d(3)
+    keys64 = ki.astype(np.int64)
+    c = np.stack([keys64 >> 20, (keys64 >> 10) & 1023, keys64 & 1023], 1)
+    nbr = np.full((pad, 27), pad, np.int32)
+    for k, (dx, dy, dz) in enumerate(offs):
+        cc = c[:n] + np.array([dx, dy, dz])
+        ok = ((cc >= 0) & (cc < 1024)).all(1)
+        q = (cc[:, 0] << 20) | (cc[:, 1] << 10) | cc[:, 2]
+        pos = np.searchsorted(keys64[:n], q)
+        hit = ok & (pos < n) & (keys64[np.minimum(pos, n - 1)] == q)
+        nbr[:n, k] = np.where(hit, pos, pad)
+
+    deltas = [KC.pack_delta(o) for o in offs]
+    groups = KC.group_by_dx(offs)
+    win = min(KC.WINDOW, pad)
+    bases, counts = KC._host_bases(ki, ki, deltas, groups, win, pad)
+
+    xj, wj = jnp.asarray(x), jnp.asarray(w)
+    tgt = jnp.asarray(rng.normal(size=(pad, cout)).astype(np.float32))
+
+    def loss_nmap(x, w):
+        out = ops.gather_conv(x, jnp.asarray(nbr), w,
+                              compute_dtype=jnp.float32)
+        return jnp.sum((out - tgt) ** 2)
+
+    kb = jnp.asarray(ki[None])
+    kcol = jnp.asarray(ki.reshape(-1, 1))
+    bj, cj = jnp.asarray(bases[None]), jnp.asarray(counts[None])
+
+    def loss_kc(x, w):
+        out = KC.key_conv_train(x, kb, kcol, bj, cj, w, 3, 1, True, win)
+        return jnp.sum((out - tgt) ** 2)
+
+    v1, (gx1, gw1) = jax.value_and_grad(loss_nmap, argnums=(0, 1))(xj, wj)
+    v2, (gx2, gw2) = jax.value_and_grad(loss_kc, argnums=(0, 1))(xj, wj)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-2)
+    scale = np.abs(np.asarray(gx1)).max()
+    np.testing.assert_allclose(np.asarray(gx2)[:n], np.asarray(gx1)[:n],
+                               rtol=0.05, atol=0.02 * scale)
+    ws = np.abs(np.asarray(gw1)).max()
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
+                               rtol=0.05, atol=0.02 * ws)
+
+
+def test_down_train_grads_match():
+    import jax
+    from box2mask_tpu.sparse import ops
+
+    rng = np.random.default_rng(12)
+    pad, cin, cout = 256, 8, 8
+    ki, n = make_keys(rng, pad - 30, pad)
+    fine = ki[ki < SENT_KEY]
+    coarse = floor_keys(fine, 1)
+    ko = np.full(pad, int(SENT_KEY), np.int32)
+    ko[:len(coarse)] = coarse
+    x = rng.normal(size=(pad, cin)).astype(np.float32)
+    x[n:] = 0
+    w = (rng.normal(size=(8, cin, cout)) * 0.1).astype(np.float32)
+
+    offs = KC.offsets_3d(2, stride_child=True)
+    keys64 = ki.astype(np.int64)
+    nbr = np.full((pad, 8), pad, np.int32)    # down map: coarse row -> fine
+    nc = len(coarse)
+    co64 = coarse.astype(np.int64)
+    for k, (dx, dy, dz) in enumerate(offs):
+        q = co64 + KC.pack_delta((dx, dy, dz))
+        pos = np.searchsorted(keys64[:n], q)
+        hit = (pos < n) & (keys64[np.minimum(pos, n - 1)] == q)
+        nbr[:nc, k] = np.where(hit, pos, pad)
+
+    # up maps: parent of each fine voxel + weight slot (bit 0 per field)
+    m = np.int64(1)
+    parent_key = keys64[:n] & ~((m << 20) | (m << 10) | m)
+    par = np.full(pad, pad, np.int32)
+    par[:n] = np.searchsorted(co64, parent_key)
+    widx = np.zeros(pad, np.int32)
+    widx[:n] = (((keys64[:n] >> 20) & 1) * 4 + ((keys64[:n] >> 10) & 1) * 2
+                + (keys64[:n] & 1))
+
+    deltas = [KC.pack_delta(o) for o in offs]
+    groups = KC.group_by_dx(offs)
+    win = min(KC.WINDOW, pad)
+    bases, counts = KC._host_bases(ki, ko, deltas, groups, win, pad)
+
+    xj, wj = jnp.asarray(x), jnp.asarray(w)
+    tgt = jnp.asarray(rng.normal(size=(pad, cout)).astype(np.float32))
+
+    def loss_nmap(x, w):
+        out = ops.gather_conv(x, jnp.asarray(nbr), w,
+                              compute_dtype=jnp.float32)
+        return jnp.sum((out - tgt) ** 2)
+
+    kb = jnp.asarray(ki[None])
+    kcol = jnp.asarray(ko.reshape(-1, 1))
+    bj, cj = jnp.asarray(bases[None]), jnp.asarray(counts[None])
+
+    def loss_kc(x, w):
+        out = KC.key_conv_down_train(x, kb, kcol, bj, cj, jnp.asarray(par),
+                                     jnp.asarray(widx), w, 1, win)
+        return jnp.sum((out - tgt) ** 2)
+
+    v1, (gx1, gw1) = jax.value_and_grad(loss_nmap, argnums=(0, 1))(xj, wj)
+    v2, (gx2, gw2) = jax.value_and_grad(loss_kc, argnums=(0, 1))(xj, wj)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-2)
+    s = np.abs(np.asarray(gx1)).max()
+    np.testing.assert_allclose(np.asarray(gx2)[:n], np.asarray(gx1)[:n],
+                               rtol=0.05, atol=0.02 * s)
+    ws = np.abs(np.asarray(gw1)).max()
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
+                               rtol=0.05, atol=0.02 * ws)
