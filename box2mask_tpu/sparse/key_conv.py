@@ -101,50 +101,66 @@ def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
 
     acc = jnp.zeros((tile, cout), jnp.float32)
     G = len(groups)
-    for g in range(G):                                  # static
-        base = bases_ref[flat * G + g]
+
+    def start_dma(g, chunk):
+        # logical chunk [su, su+window); DMA start clamped inside the scene's
+        # padded block, overlap deduped by the column mask in compute().
+        # keys arrive as a single (1, B*pad) row: only the (128-aligned) lane
+        # dimension is sliced — a size-1 sublane slice of a (B, pad) array
+        # trips Mosaic's (4,128) int32 tiling for B > 1.
+        su = bases_ref[flat * G + g] + chunk * window
+        start = pl.multiple_of(jnp.minimum(su, pad - window), 128)
+        cpx = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(b * pad + start, window), :], win_x.at[g], sem_x.at[g])
+        cpk = pltpu.make_async_copy(
+            keys_hbm.at[pl.ds(0, 1), pl.ds(b * pad + start, window)],
+            win_k.at[g], sem_k.at[g])
+        cpx.start()
+        cpk.start()
+        return su - start, (cpx, cpk)
+
+    def compute(g, shift, acc):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+        wk = jnp.where(cols >= shift, win_k[g, :, :], -2)    # (1, W)
+        wx = win_x[g, :, :]                                  # (W, Cin) bf16
+        for k in groups[g]:                                  # static unroll
+            q = keys_col + deltas[k]
+            ok = valid_row
+            if guard:
+                dx, dy, dz = (v * scale for v in offs[k])
+                if dx != 0:
+                    ok = ok & ((xf + dx >= 0) & (xf + dx < AXIS_MAX))
+                if dy != 0:
+                    ok = ok & ((yf + dy >= 0) & (yf + dy < AXIS_MAX))
+                if dz != 0:
+                    ok = ok & ((zf + dz >= 0) & (zf + dz < AXIS_MAX))
+            qm = jnp.where(ok, q, -1)                        # (T, 1)
+            oh = jnp.where(wk == qm, jnp.float32(1),
+                           jnp.float32(0)).astype(jnp.bfloat16)
+            gath = jnp.dot(oh, wx, preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(gath.astype(jnp.bfloat16), w_ref[k],
+                                preferred_element_type=jnp.float32)
+        return acc
+
+    # chunk 0 of every group is DMA'd upfront so the copies overlap each
+    # other and the compute of earlier groups (the kernel is DMA-latency
+    # bound at ~1 chunk/group in the common case); overflow chunks (rare
+    # wide-span tiles) run blocking in a fori_loop per group
+    first = [start_dma(g, 0) for g in range(G)]
+    for g in range(G):
+        shift0, (cpx, cpk) = first[g]
+        cpk.wait()
+        cpx.wait()
+        acc = compute(g, shift0, acc)
         cnt = counts_ref[flat * G + g]
 
-        def chunk_body(c, acc):
-            # logical chunk [su, su+window); DMA start clamped inside the
-            # scene's padded block, overlap deduped by the column mask below
-            su = base + c * window
-            start = pl.multiple_of(jnp.minimum(su, pad - window), 128)
-            cpx = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(b * pad + start, window), :], win_x, sem_x)
-            # keys arrive as a single (1, B*pad) row: only the (128-aligned)
-            # lane dimension is sliced — a size-1 sublane slice of a (B, pad)
-            # array trips Mosaic's (4,128) int32 tiling for B > 1
-            cpk = pltpu.make_async_copy(
-                keys_hbm.at[pl.ds(0, 1), pl.ds(b * pad + start, window)],
-                win_k, sem_k)
-            cpx.start()
-            cpk.start()
-            cpk.wait()
-            cpx.wait()
-            cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
-            wk = jnp.where(cols >= su - start, win_k[:, :], -2)  # (1, W)
-            wx = win_x[:, :]                            # (W, Cin) bf16
-            for k in groups[g]:                         # static unroll
-                q = keys_col + deltas[k]
-                ok = valid_row
-                if guard:
-                    dx, dy, dz = (v * scale for v in offs[k])
-                    if dx != 0:
-                        ok = ok & ((xf + dx >= 0) & (xf + dx < AXIS_MAX))
-                    if dy != 0:
-                        ok = ok & ((yf + dy >= 0) & (yf + dy < AXIS_MAX))
-                    if dz != 0:
-                        ok = ok & ((zf + dz >= 0) & (zf + dz < AXIS_MAX))
-                qm = jnp.where(ok, q, -1)               # (T, 1)
-                oh = jnp.where(wk == qm, jnp.float32(1),
-                               jnp.float32(0)).astype(jnp.bfloat16)
-                gath = jnp.dot(oh, wx, preferred_element_type=jnp.float32)
-                acc = acc + jnp.dot(gath.astype(jnp.bfloat16), w_ref[k],
-                                    preferred_element_type=jnp.float32)
-            return acc
+        def chunk_body(c, acc, g=g):
+            shift, (cpx2, cpk2) = start_dma(g, c)
+            cpk2.wait()
+            cpx2.wait()
+            return compute(g, shift, acc)
 
-        acc = jax.lax.fori_loop(0, cnt, chunk_body, acc)
+        acc = jax.lax.fori_loop(1, cnt, chunk_body, acc)
     out_ref[:] = acc
 
 
@@ -226,10 +242,10 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
             (tile, cout), lambda b, t, *_: (b * tiles + t, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((window, cin), jnp.bfloat16),
-            pltpu.VMEM((1, window), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((G, window, cin), jnp.bfloat16),
+            pltpu.VMEM((G, 1, window), jnp.int32),
+            pltpu.SemaphoreType.DMA((G,)),
+            pltpu.SemaphoreType.DMA((G,)),
         ],
     )
     out = pl.pallas_call(
