@@ -123,3 +123,25 @@ def test_strict_rejects_unknown_keys():
     with pytest.raises(ValueError):
         convert_state_dict({'not_a_layer.kernel': np.zeros((3, 3))},
                            strict=True)
+
+
+def test_real_torch_tar_roundtrip(tmp_path):
+    """Save a real torch state_dict with torch.save and run the converter's
+    torch loading path on it (the released ckpt is a torch .tar)."""
+    torch = pytest.importorskip('torch')
+    from scripts.convert_torch_ckpt import load_torch_tar
+
+    sd = {
+        'conv0p1s1.kernel': torch.arange(125 * 3 * 4,
+                                         dtype=torch.float32).reshape(125, 3,
+                                                                      4),
+        'bn0.bn.weight': torch.ones(4),
+        'bn0.bn.running_mean': torch.zeros(4),
+    }
+    path = tmp_path / 'checkpoint_1h:0m:0s_3600.0.tar'
+    torch.save({'model_state_dict': sd}, str(path))
+    got, meta = load_torch_tar(str(path))
+    assert set(got) == set(sd)
+    assert 'model_state_dict' in meta
+    np.testing.assert_allclose(got['conv0p1s1.kernel'],
+                               sd['conv0p1s1.kernel'].numpy())

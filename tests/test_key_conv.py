@@ -270,3 +270,53 @@ def test_down_train_grads_match():
     ws = np.abs(np.asarray(gw1)).max()
     np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
                                rtol=0.05, atol=0.02 * ws)
+
+
+def test_key_conv_under_shard_map():
+    """key_conv inside a shard_map DP step (per-device local windows) matches
+    per-device serial execution — the --key_conv on multi-chip path."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip('needs 2 devices')
+
+    rng = np.random.default_rng(13)
+    pad, cin, cout = 256, 8, 8
+    D = 2
+    kis, xs = [], []
+    for d in range(D):
+        ki, n = make_keys(rng, pad - 20 * (d + 1), pad)
+        kis.append(ki)
+        x = rng.normal(size=(pad, cin)).astype(np.float32)
+        x[n:] = 0
+        xs.append(x)
+    w = (rng.normal(size=(27, cin, cout)) * 0.1).astype(np.float32)
+    offs = KC.offsets_3d(3)
+    deltas = [KC.pack_delta(o) for o in offs]
+    groups = KC.group_by_dx(offs)
+    win = min(KC.WINDOW, pad)
+    bases = np.stack([KC._host_bases(k, k, deltas, groups, win, pad)[0]
+                      for k in kis])
+    counts = np.stack([KC._host_bases(k, k, deltas, groups, win, pad)[1]
+                       for k in kis])
+
+    mesh = Mesh(np.array(jax.devices()[:D]), ('data',))
+
+    def dev_step(x, kb, kcol, b, c, w):
+        return KC.key_conv(x[0], kb, kcol[0].reshape(-1, 1),
+                           b, c, w, kernel_size=3, interpret=True)[None]
+
+    f = jax.jit(shard_map(
+        dev_step, mesh=mesh,
+        in_specs=(P('data'), P('data'), P('data'), P('data'), P('data'), P()),
+        out_specs=P('data'), check_vma=False))
+    out = np.asarray(f(
+        jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(kis)),
+        jnp.asarray(np.stack(kis)), jnp.asarray(bases),
+        jnp.asarray(counts), jnp.asarray(w)))
+    for d in range(D):
+        want = KC.key_conv_reference(xs[d], kis[d][None], kis[d][None], w,
+                                     kernel_size=3)
+        np.testing.assert_allclose(out[d], want, rtol=0.05, atol=0.05)
