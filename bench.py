@@ -2,30 +2,35 @@
 """Benchmark: ScanNet-scale inference throughput (scenes/sec/chip).
 
 Measures the device inference pipeline on realistic ScanNet-val-scale
-synthetic scenes (~120k voxels @ 2cm): coordinate handling + jitted
-SelectionNet forward + fully on-device vote->mask post-processing (one fused
-dispatch per batch), with per-scene result readback/unpacking overlapped in
-host threads. Prints ONE JSON line; the north-star target is >10
-scenes/sec/chip (BASELINE.md).
+synthetic scenes (~120k voxels @ 2cm). The timed window covers, per batch:
+host->device upload of the numpy batch (H2D is INSIDE the window), one fused
+dispatch (coordinate handling + jitted SelectionNet forward + fully on-device
+vote->mask post-processing for every scene of the batch), and readback of the
+stacked result (one device_get per batch; packed-mask unpacking + vox->point
+projection run in overlapped host threads). Prints ONE JSON line; the
+north-star target is >10 scenes/sec/chip (BASELINE.md).
 
 Scene preparation (synthetic generation + voxelization + batch build) happens
 ONCE for a pool of unique scenes before the timed window and is reported
 separately as host_prep_s_per_scene: it is embarrassingly parallel across
-loader workers (the reference uses 16; datasets/loader.py threads here), so on
-a normal multi-core host it overlaps the device pipeline completely — this
-bench host has a single CPU core, which would otherwise measure the host, not
-the chip.
+loader workers (the reference uses 16 worker processes; datasets/loader.py
+threads here), but this bench host has a single CPU core (detail.host_cores),
+which would otherwise measure the host, not the chip. Sustaining the reported
+rate in production needs ~ceil(rate * host_prep_s_per_scene) dedicated
+prep cores.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-N_SCENES = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-N_POOL = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+N_SCENES = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+N_POOL = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+TOP_K = 128
 
 
 def make_cfg():
@@ -44,7 +49,7 @@ def make_cfg():
 
 
 def build_pool(cfg, n_batches):
-    """Prep a pool of unique batches; returns (batches, prep seconds/scene)."""
+    """Prep a pool of unique numpy batches; returns (batches, prep s/scene)."""
     from box2mask_tpu.datasets import synthetic
     from box2mask_tpu.datasets.voxelize import voxelize_scene
     from box2mask_tpu.datasets.batching import build_batch
@@ -75,46 +80,47 @@ def main():
     import jax.numpy as jnp
     from concurrent.futures import ThreadPoolExecutor
     from box2mask_tpu.engine import state as S
-    from box2mask_tpu.postprocess.device_post import (make_fused_infer,
-                                                      device_masks_to_results)
+    from box2mask_tpu.postprocess.device_post import (
+        make_fused_infer, stacked_masks_to_results)
     from box2mask_tpu.datasets.tables import get_tables
 
     cfg = make_cfg()
     valid_ids, _, _, is_fg = get_tables('scannet')
     model = S.build_model(cfg, num_classes=20)
-    # fused pipeline: maps + forward + per-scene postproc in ONE device call
-    infer = make_fused_infer(cfg, model, valid_ids, is_fg, max_masks=256)
+    # fused pipeline: maps + forward + per-scene postproc in ONE device call;
+    # the whole batch's masks read back in ONE device_get (top_k packed rows
+    # per scene over its own voxel window)
+    infer = make_fused_infer(cfg, model, valid_ids, is_fg, max_masks=256,
+                             top_k=TOP_K)
 
     batches, prep_per_scene = build_pool(cfg, max(1, N_POOL // BATCH))
-    dev_batches = [({k: jnp.asarray(v) for k, v in dev.items()}, dev, host)
-                   for dev, host in batches]
 
-    variables = S.init_variables(model, dev_batches[0][0])
+    variables = S.init_variables(
+        model, jax.device_put(batches[0][0]))
     params, stats = variables['params'], variables['batch_stats']
     ths = jnp.asarray(cfg.eval_ths, jnp.float32)
-    post_pool = ThreadPoolExecutor(max_workers=4)
+    read_pool = ThreadPoolExecutor(max_workers=2)
 
-    def run(n_batches, timed):
+    def read_one(out, dev, host):
+        out_np = jax.device_get(out)     # one transfer for the whole batch
+        return stacked_masks_to_results(out_np, dev, host, valid_ids,
+                                        mode='eval')
+
+    def run(n_batches):
         futures = []
         for b in range(n_batches):
-            batch, dev, host = dev_batches[b % len(dev_batches)]
-            _, outs = infer(params, stats, batch, ths)   # async dispatch
-            for si in range(len(host['scene'])):
-                def post(out=outs[si], dev=dev, host=host, si=si):
-                    # device->host readback happens in the worker so the main
-                    # loop keeps the device queue full; only n_keep-bucketed
-                    # rows cross the tunnel (device_masks_to_results)
-                    return device_masks_to_results(out, dev, host,
-                                                   valid_ids, si, mode='eval')
-                futures.append(post_pool.submit(post))
+            dev, host = batches[b % len(batches)]
+            batch = jax.device_put(dev)              # H2D inside the window
+            _, out = infer(params, stats, batch, ths)   # async dispatch
+            futures.append(read_pool.submit(read_one, out, dev, host))
         results = [f.result() for f in futures]
         assert all(r for r in results)
         return results
 
-    run(2, timed=False)                                  # warm-up + compile
+    run(2)                                           # warm-up + compile
     n_batches = (N_SCENES + BATCH - 1) // BATCH
     t0 = time.time()
-    run(n_batches, timed=True)
+    run(n_batches)
     elapsed = time.time() - t0
     n_timed = n_batches * BATCH
     scenes_per_sec = n_timed / elapsed
@@ -127,10 +133,13 @@ def main():
         'detail': {
             'n_scenes': n_timed,
             'batch_size': BATCH,
-            'unique_scenes': len(dev_batches) * BATCH,
+            'unique_scenes': len(batches) * BATCH,
             'mean_batch_voxels': int(np.mean(
-                [int(d['num0']) for _, d, _ in dev_batches])),
+                [int(d['num0']) for d, _ in batches])),
+            'h2d_in_timed_window': True,
             'host_prep_s_per_scene': round(prep_per_scene, 3),
+            'host_cores': os.cpu_count(),
+            'top_k_masks': TOP_K,
             'platform': jax.devices()[0].platform,
         },
     }

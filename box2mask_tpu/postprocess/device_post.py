@@ -16,14 +16,21 @@ the identical semantics on the chip:
   6. kept rows compacted to the front (stable argsort) and masks bit-packed
      to uint8 so the device->host readback is V/8 bytes per mask.
 
-Only scalar metadata + packed masks leave the chip. `device_masks_to_results`
-unpacks on the host and projects vox->point, returning the same result dict as
+Only scalar metadata + packed masks leave the chip. The device sits behind a
+high-RTT tunnel (measured ~29ms per dispatch round-trip, ~40MB/s transfer),
+so the fused path (`make_fused_infer`) returns ONE stacked dict per batch:
+each scene's masks are packed over its own interleaved voxel window and only
+the `top_k` best rows are kept, so the whole batch reads back in a single
+`jax.device_get` with zero extra dispatches. Overflow past `top_k` (rare;
+degenerate early-training predictions) falls back to the unfused per-scene
+path. `stacked_masks_to_results` / `device_masks_to_results` unpack on the
+host and project vox->point, returning the same result dict as
 detection_to_masks(mode='eval').
 """
 
 from __future__ import annotations
 
-import functools
+import warnings
 
 import numpy as np
 import jax
@@ -32,21 +39,41 @@ import jax.numpy as jnp
 from box2mask_tpu.postprocess import nms
 
 
-def make_device_postproc(cfg, valid_class_ids, is_foreground, max_masks=256):
-    """Returns jitted fn(pred, batch, scene_idx, ths) -> compact result dict.
+def _pack_bits(masks):
+    """(R, V) bool -> (R, V//8) uint8, little-endian bit order."""
+    R, V = masks.shape
+    assert V % 8 == 0, (
+        f'mask width {V} not a multiple of 8 — pick a vox_bucket divisible '
+        'by 8 (device mask bit-packing reads back V/8 bytes per row)')
+    w = jnp.left_shift(jnp.uint8(1),
+                       jnp.arange(8, dtype=jnp.uint8)[None, None, :])
+    return jnp.sum(masks.reshape(R, V // 8, 8).astype(jnp.uint8) * w,
+                   axis=-1).astype(jnp.uint8)
 
-    `scene_idx` and the 4 thresholds are traced (no recompile per scene or per
-    param-search point); `max_masks` is the static cluster bound (reference has
-    no bound; trained models produce far fewer clusters than 256)."""
+
+def _make_core(cfg, valid_class_ids, is_foreground, max_masks):
+    """Shared traced pipeline: votes -> ordered masks for one scene.
+
+    Returns a traceable fn(pred, batch, scene_idx, ths) -> dict with
+    n_keep, conf (R,), label_idx (R,), masks (R, V) bool ordered kept-first,
+    cluster_cap_hit (bool) — True when the static cluster bound truncated
+    NMS clustering (the reference loop is unbounded, iou_nms.py:84-100)."""
     ids = np.asarray(valid_class_ids)
     fg_lut = jnp.asarray(np.asarray(is_foreground(ids)).astype(bool))
     min_bb = cfg.min_bb_size
     off_h, bnd_h = cfg.mlp_offsets, cfg.mlp_bounds
     score_h, sem_h = cfg.mlp_bb_scores, cfg.mlp_semantics
 
-    @jax.jit
-    def post(pred, batch, scene_idx, ths):
+    def core(pred, batch, scene_idx, ths, vox_slice=None):
+        """vox_slice: optional static slice restricting the voxel axis to one
+        scene's interleaved window — shrinks every voxel-width op (mask
+        projection, NMS matmul, packing) from V to V/B so per-scene postproc
+        cost is independent of batch size."""
         cluster_th, score_th, mask_bin_th, mask_nms_th = ths
+        # a mask_nms_th >= 1.0 would never suppress the selected row itself
+        # (its self-IoU is forced to 1.0), livelocking the greedy loop; the
+        # loop below is also iteration-bounded as a second line of defense
+        mask_nms_th = jnp.minimum(mask_nms_th, 1.0 - 1e-6)
         loc = batch['input_location']
         S = loc.shape[0]
         off = pred[off_h][:S]
@@ -61,16 +88,20 @@ def make_device_postproc(cfg, valid_class_ids, is_foreground, max_masks=256):
         fg = (fg_lut[sem_idx] & batch['seg_valid']
               & (batch['batch_ids'] == scene_idx))
 
-        reps, heatmaps, repv = nms.nms_clustering_jax(
-            boxes, fg, cluster_th=cluster_th, max_clusters=max_masks)
+        reps, heatmaps, repv, cap_hit = nms.nms_clustering_jax(
+            boxes, fg, cluster_th=cluster_th, max_clusters=max_masks,
+            return_overflow=True)
         rep_scores = boxes[reps, 0]
         keep0 = repv & (rep_scores > score_th)
         # zero heatmap over background segments (detection2mask hm_w_bg)
         heatmaps = heatmaps * fg[None, :].astype(heatmaps.dtype)
 
         pool = batch['pooling_ids']                      # (V,) voxel -> segment
-        vox_ok = (batch['valid0'] & (batch['batch0'] == scene_idx)
-                  & (pool < S))
+        valid0, batch0 = batch['valid0'], batch['batch0']
+        if vox_slice is not None:
+            pool, valid0, batch0 = (pool[vox_slice], valid0[vox_slice],
+                                    batch0[vox_slice])
+        vox_ok = valid0 & (batch0 == scene_idx) & (pool < S)
         pool_c = jnp.minimum(pool, S - 1)
         # project seg->vox as a ROW gather of the transposed heatmap table
         vox_heat_t = heatmaps.T[pool_c]                  # (V, R)
@@ -88,18 +119,19 @@ def make_device_postproc(cfg, valid_class_ids, is_foreground, max_masks=256):
         idx = jnp.arange(R)
 
         def body(state):
-            remaining, keep = state
+            it, remaining, keep = state
             top = jnp.argmax(jnp.where(remaining, R - idx, 0))
             keep = keep.at[top].set(True)
             row = iou[top].at[top].set(1.0)
             remaining = remaining & (row <= mask_nms_th)
-            return remaining, keep
+            return it + 1, remaining, keep
 
         def cond(state):
-            remaining, _ = state
-            return jnp.any(remaining)
+            it, remaining, _ = state
+            return jnp.any(remaining) & (it < R)
 
-        _, keep = jax.lax.while_loop(cond, body, (keep0, jnp.zeros(R, bool)))
+        _, _, keep = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), keep0, jnp.zeros(R, bool)))
 
         # per-mask majority-vote semantics: counts = mask @ one_hot(vox_sem)
         vox_sem = sem_idx[pool_c]
@@ -111,28 +143,48 @@ def make_device_postproc(cfg, valid_class_ids, is_foreground, max_masks=256):
 
         # compact kept rows to the front (stable: preserves score-desc order)
         order = jnp.argsort(~keep, stable=True)
-        masks = masks_t.T[order]                         # (R, V)
-        V = masks.shape[1]
-        w = jnp.left_shift(jnp.uint8(1),
-                           jnp.arange(8, dtype=jnp.uint8)[None, None, :])
-        packed = jnp.sum(masks.reshape(R, V // 8, 8).astype(jnp.uint8) * w,
-                         axis=-1).astype(jnp.uint8)
         return {'n_keep': jnp.sum(keep).astype(jnp.int32),
                 'conf': rep_scores[order],
                 'label_idx': label_idx[order],
-                'masks_packed': packed}
+                'masks': masks_t.T[order],               # (R, V) bool
+                'cluster_cap_hit': cap_hit}
+
+    return core
+
+
+def make_device_postproc(cfg, valid_class_ids, is_foreground, max_masks=256):
+    """Returns jitted fn(pred, batch, scene_idx, ths) -> compact result dict.
+
+    `scene_idx` and the 4 thresholds are traced (no recompile per scene or per
+    param-search point); `max_masks` is the static cluster bound (reference has
+    no bound; trained models produce far fewer clusters than 256 — overflow is
+    reported via `cluster_cap_hit`)."""
+    core = _make_core(cfg, valid_class_ids, is_foreground, max_masks)
+
+    @jax.jit
+    def post(pred, batch, scene_idx, ths):
+        out = core(pred, batch, scene_idx, ths)
+        masks = out.pop('masks')
+        out['masks_packed'] = _pack_bits(masks)
+        return out
 
     return post
 
 
 def make_fused_infer(cfg, model, valid_class_ids, is_foreground,
-                     max_masks=256):
+                     max_masks=256, top_k=64):
     """One jitted call per batch: coordinate-pyramid build + SelectionNet
-    forward + per-scene device post-processing. Cuts host->device dispatches
-    to 1/batch — significant when the device sits behind a high-RTT tunnel."""
+    forward + per-scene device post-processing, returning ONE stacked dict.
+
+    Readback contract: every array in the returned `out` is (B, ...)-stacked;
+    masks are packed over each scene's own interleaved voxel window (width
+    Vs = V/B) and truncated to the best `top_k` rows, so a whole batch reads
+    back in a single jax.device_get (~top_k * Vs/8 bytes per scene) with no
+    further device dispatches — critical behind a high-RTT tunnel. Scenes
+    with n_keep > top_k set `topk_overflow`; callers fall back to
+    `fused.post_full` (the unfused full-width postproc) for those."""
     from box2mask_tpu.engine import state as S
-    post = make_device_postproc(cfg, valid_class_ids, is_foreground,
-                                max_masks=max_masks)
+    core = _make_core(cfg, valid_class_ids, is_foreground, max_masks)
 
     @jax.jit
     def infer(params, batch_stats, batch, ths):
@@ -140,49 +192,38 @@ def make_fused_infer(cfg, model, valid_class_ids, is_foreground,
         pred = model.apply({'params': params, 'batch_stats': batch_stats},
                            full, train=False)
         B = batch['keys0_b'].shape[0] if 'keys0_b' in batch else 1
-        outs = [post(pred, full, jnp.int32(b), ths) for b in range(B)]
-        return pred, outs
+        vs = full['valid0'].shape[0] // B
+        outs = []
+        for b in range(B):
+            o = core(pred, full, jnp.int32(b), ths,
+                     vox_slice=slice(b * vs, (b + 1) * vs))
+            o['masks_packed'] = _pack_bits(o.pop('masks')[:top_k])
+            o['conf'] = o['conf'][:top_k]
+            o['label_idx'] = o['label_idx'][:top_k]
+            o['topk_overflow'] = o['n_keep'] > top_k
+            outs.append(o)
+        out = {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
+        return pred, out
 
+    infer.post_full = make_device_postproc(
+        cfg, valid_class_ids, is_foreground, max_masks=max_masks)
     return infer
 
 
-def device_masks_to_results(out, dev, host, valid_class_ids, scene_idx,
-                            mode='eval'):
-    """Host side: unpack the device result for one scene into the
-    detection_to_masks result dict {conf, label_id, mask} (points in eval
-    mode, voxels otherwise).
-
-    `out` may hold device arrays: only n_keep (4 bytes) and a
-    power-of-2-bucketed row slice of the packed masks are read back — the
-    device sits behind a high-RTT/low-BW tunnel, so shipping all max_masks
-    rows (4MB/scene) would dominate the scene wall time."""
-    import jax
-    n, conf_all, label_all = jax.device_get(
-        (out['n_keep'], out['conf'], out['label_idx']))   # one small transfer
-    n = int(n)
-    cap = out['masks_packed'].shape[0]
-    nb = 1
-    while nb < max(n, 1):
-        nb *= 2
-    nb = min(nb, cap)
-    conf = np.asarray(conf_all)[:n]
-    label_id = np.asarray(valid_class_ids)[np.asarray(label_all)[:n]]
-    packed = np.asarray(out['masks_packed'][:nb])[:n]
-
-    n_vox = host['num_voxels'][scene_idx]
-    if 'interleaved_vs' in host:                 # device-maps layout
-        vs = host['interleaved_vs']
-        sl = slice(scene_idx * vs, scene_idx * vs + n_vox)
-    else:                                        # host-maps: tail-padded concat
-        off = int(np.sum(host['num_voxels'][:scene_idx]))
-        sl = slice(off, off + n_vox)
+def _scene_result(conf, label_idx, packed, byte_off, n_vox, host,
+                  valid_class_ids, scene_idx, mode):
+    """packed: (n, W/8) numpy uint8 rows for one scene; byte_off is the
+    scene's voxel offset within the packed width, in bytes (0 for
+    window-packed rows)."""
+    n = len(conf)
+    label_id = np.asarray(valid_class_ids)[label_idx]
     name = host['scene'][scene_idx]['name']
 
-    if mode == 'eval' and n and sl.start % 8 == 0:
+    if mode == 'eval' and n:
         # fused C path: bit test + vox->point projection in one pass
         # (~10x the NumPy unpack+fancy-index chain on many-mask scenes)
         from box2mask_tpu.native import native_unpack_masks
-        um = native_unpack_masks(packed, sl.start // 8,
+        um = native_unpack_masks(np.ascontiguousarray(packed), byte_off,
                                  host['vox2point'][scene_idx])
         if um is not None:
             return {name: {'conf': conf,
@@ -191,8 +232,94 @@ def device_masks_to_results(out, dev, host, valid_class_ids, scene_idx,
 
     masks = np.unpackbits(packed, axis=1, bitorder='little') if n else \
         np.zeros((0, packed.shape[1] * 8), np.uint8)
-    masks = masks[:, sl].astype(bool)
+    masks = masks[:, byte_off * 8:byte_off * 8 + n_vox].astype(bool)
     if mode == 'eval':
         masks = masks[:, host['vox2point'][scene_idx]]
+    return {name: {'conf': conf, 'label_id': label_id.astype(np.int32),
+                   'mask': masks}}
+
+
+def _warn_cap(host, scene_idx, out_np):
+    if bool(out_np.get('cluster_cap_hit', False)):
+        warnings.warn(
+            f"scene {host['scene'][scene_idx]['name']}: NMS clustering hit "
+            'the static max_masks bound — instances beyond it were dropped '
+            '(raise max_masks; typical for untrained/degenerate models)')
+
+
+def stacked_masks_to_results(out_np, dev, host, valid_class_ids, mode='eval',
+                             post_fallback=None, pred=None, dev_j=None,
+                             ths=None):
+    """Host side: unpack ONE fetched (numpy) stacked fused-infer output into
+    the detection_to_masks result dict for every scene of the batch.
+
+    `out_np` must already be on host (jax.device_get(out)); this function
+    performs no device calls unless a scene overflowed top_k, in which case
+    `post_fallback` (fused.post_full) re-runs that scene unfused."""
+    results = {}
+    B = len(host['scene'])
+    for si in range(B):
+        n = int(out_np['n_keep'][si])
+        _warn_cap(host, si, {k: v[si] for k, v in out_np.items()})
+        cap = out_np['masks_packed'].shape[1]
+        if n > cap:
+            if post_fallback is None or pred is None:
+                warnings.warn(
+                    f"scene {host['scene'][si]['name']}: {n} masks kept but "
+                    f'only {cap} packed rows shipped; result truncated')
+                n = cap
+            else:
+                out = post_fallback(pred, dev_j, np.int32(si), ths)
+                results.update(device_masks_to_results(
+                    out, dev, host, valid_class_ids, si, mode=mode))
+                continue
+        n_vox = host['num_voxels'][si]
+        results.update(_scene_result(
+            out_np['conf'][si][:n], out_np['label_idx'][si][:n],
+            out_np['masks_packed'][si][:n], 0, n_vox,
+            host, valid_class_ids, si, mode))
+    return results
+
+
+def device_masks_to_results(out, dev, host, valid_class_ids, scene_idx,
+                            mode='eval'):
+    """Host side: unpack the device result for one scene (full-width packed
+    rows from make_device_postproc) into the detection_to_masks result dict
+    {conf, label_id, mask} (points in eval mode, voxels otherwise).
+
+    `out` may hold device arrays: only n_keep (4 bytes) and a
+    power-of-2-bucketed row slice of the packed masks are read back."""
+    n, conf_all, label_all = jax.device_get(
+        (out['n_keep'], out['conf'], out['label_idx']))   # one small transfer
+    n = int(n)
+    if 'cluster_cap_hit' in out:
+        _warn_cap(host, scene_idx,
+                  {'cluster_cap_hit': jax.device_get(out['cluster_cap_hit'])})
+    cap = out['masks_packed'].shape[0]
+    nb = 1
+    while nb < max(n, 1):
+        nb *= 2
+    nb = min(nb, cap)
+    conf = np.asarray(conf_all)[:n]
+    label_idx = np.asarray(label_all)[:n]
+    packed = np.asarray(out['masks_packed'][:nb])[:n]
+
+    n_vox = host['num_voxels'][scene_idx]
+    if 'interleaved_vs' in host:                 # device-maps layout
+        vs = host['interleaved_vs']
+        start = scene_idx * vs
+    else:                                        # host-maps: tail-padded concat
+        start = int(np.sum(host['num_voxels'][:scene_idx]))
+    if start % 8 == 0:
+        return _scene_result(conf, label_idx, packed, start // 8, n_vox,
+                             host, valid_class_ids, scene_idx, mode)
+    # unaligned start: fall back to full unpack + python slice
+    masks = np.unpackbits(packed, axis=1, bitorder='little') if n else \
+        np.zeros((0, packed.shape[1] * 8), np.uint8)
+    masks = masks[:, start:start + n_vox].astype(bool)
+    if mode == 'eval':
+        masks = masks[:, host['vox2point'][scene_idx]]
+    name = host['scene'][scene_idx]['name']
+    label_id = np.asarray(valid_class_ids)[label_idx]
     return {name: {'conf': conf, 'label_id': label_id.astype(np.int32),
                    'mask': masks}}

@@ -66,12 +66,17 @@ def nms_clustering_np(boxes, cluster_th=0.5, get_heatmaps=True,
     return reps, clusters
 
 
-def nms_clustering_jax(boxes, valid, cluster_th=0.5, max_clusters=256):
+def nms_clustering_jax(boxes, valid, cluster_th=0.5, max_clusters=256,
+                       return_overflow=False):
     """Static-shape device version.
 
     boxes: (N, 7) [score, min, max]; valid: (N,) bool (padding excluded).
     Returns (reps (R,), heatmaps (R, N), rep_valid (R,)). Semantics match
     nms_clustering_np on valid rows (up to the static cluster bound).
+    With return_overflow=True also returns a bool scalar that is True when
+    the static bound truncated the clustering (boxes remained unclustered —
+    the reference loop at models/iou_nms.py:84-100 is unbounded, so a hit
+    means instances were silently dropped).
     """
     N = boxes.shape[0]
     scores = jnp.where(valid, boxes[:, 0], -jnp.inf)
@@ -96,7 +101,9 @@ def nms_clustering_jax(boxes, valid, cluster_th=0.5, max_clusters=256):
             jnp.zeros(max_clusters, jnp.int32),
             jnp.zeros((max_clusters, N), jnp.float32),
             jnp.zeros(max_clusters, bool))
-    _, _, reps, heatmaps, repv = jax.lax.while_loop(cond, body, init)
+    _, remaining, reps, heatmaps, repv = jax.lax.while_loop(cond, body, init)
+    if return_overflow:
+        return reps, heatmaps, repv, jnp.any(remaining)
     return reps, heatmaps, repv
 
 

@@ -45,9 +45,11 @@ def main(argv=None):
     if cfg.eval_training:
         # eval a sweep of checkpoints into tensorboard (evaluation.py:699-703)
         from box2mask_tpu.engine.checkpoint import list_checkpoints
-        from torch.utils.tensorboard import SummaryWriter
+        from box2mask_tpu.engine.train import _summary_writer
         import os
-        writer = SummaryWriter(os.path.join(cfg.exp_path, 'eval_training'))
+        # _summary_writer falls back to a no-op writer when torch's
+        # tensorboard is unavailable (this CLI path must run torch-free)
+        writer = _summary_writer(os.path.join(cfg.exp_path, 'eval_training'))
         for t, path in list_checkpoints(cfg.checkpoint_path):
             cfg.checkpoint = os.path.basename(path)[:-5]
             e = Evaluater(cfg, writer=writer, epoch=int(t // 3600))

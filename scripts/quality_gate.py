@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Quality gate: overfit one synthetic scene, assert mAP@50 >= threshold.
+
+The reference's correctness anchor is eval-as-regression (reproducing paper
+mAP via models/evaluation.py, reference README.md:107-110). Real-dataset mAP
+parity is impossible in this environment (no downloads), so this gate is the
+synthetic stand-in: train the real SelectionNet through the real CLIs on ONE
+synthetic scene until it overfits, run the real evaluation (official ScanNet
+AP protocol, metrics/scannet_ap.py), and FAIL if mAP@50 on that scene is
+below the bar. A silent regression in conv semantics, NMS clustering, heatmap
+projection, mask binarization, or the AP metric drops the score to ~0 and
+trips the gate — 86 green unit tests cannot.
+
+Usage: python scripts/quality_gate.py [--epochs N] [--threshold 0.5]
+Prints one JSON line {"map50": ..., "threshold": ..., "pass": ...} and exits
+non-zero on failure. Run per round; record the result in DESIGN.md.
+"""
+
+import argparse
+import json
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+SCENE = 'synth10000_00'          # first val scene (deterministic generator)
+
+BASE = ['--config', 'configs/synthetic.txt',
+        '--overfit_to_single_scene_str', SCENE,
+        '--fixed_seed', '10',         # augs are off in the synthetic preset:
+                                      # overfit target = eval target exactly
+        '--vox_bucket', '2048', '--seg_bucket', '128',
+        '--layers', '1', '--num_workers', '2',
+        '--mlp_bb_scores_start_epoch', '1',
+        '--ckpt_every', '1000000', '--val_every', '1000000',
+        '--eval_every', '1000000']
+
+
+def run_gate(epochs, threshold, exp_root=None, dataset_size=8):
+    """Train + eval; returns measured mAP@50. dataset_size bounds the number
+    of per-epoch copies of the overfit scene (100 by default in the loader)."""
+    owned = exp_root is None
+    if owned:
+        exp_root = tempfile.mkdtemp(prefix='b2m_quality_gate_')
+    os.environ['BOX2MASK_EXP_ROOT'] = exp_root
+    os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    args = BASE + ['--dataset_size', str(dataset_size)]
+    import train as train_cli
+    import evaluate as eval_cli
+    train_cli.main(args + ['--num_epochs', str(epochs)])
+    eval_cli.main(args + ['--eval_wo_aug'])
+
+    results = os.path.join(exp_root, 'synthetic', 'results')
+    tables = []
+    for root, _, files in os.walk(results):
+        tables += [os.path.join(root, f) for f in files if f == 'table.txt']
+    assert tables, f'no AP table written under {results}'
+    text = open(sorted(tables)[-1]).read()
+    # the "average" row of the official table: classes, AP, AP50, AP25
+    m = re.search(r'average[^\n]*', text)
+    assert m, f'no average row in table:\n{text}'
+    nums = re.findall(r'\d+\.\d+|nan', m.group(0))
+    assert len(nums) >= 2, m.group(0)
+    map50 = float('nan') if nums[1] == 'nan' else float(nums[1])
+    return map50
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--epochs', type=int, default=12)
+    ap.add_argument('--threshold', type=float, default=0.5)
+    ap.add_argument('--dataset_size', type=int, default=8)
+    a = ap.parse_args(argv)
+    map50 = run_gate(a.epochs, a.threshold, dataset_size=a.dataset_size)
+    ok = map50 == map50 and map50 >= a.threshold
+    print(json.dumps({'metric': 'synthetic_overfit_map50', 'map50': map50,
+                      'threshold': a.threshold, 'pass': bool(ok),
+                      'epochs': a.epochs}))
+    return 0 if ok else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

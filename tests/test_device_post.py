@@ -105,3 +105,89 @@ def test_device_postproc_empty_scene():
                                   dev, host, valid_ids, 0)
     name = host['scene'][0]['name']
     assert got[name]['mask'].shape[0] == 0
+
+
+def test_stacked_fused_matches_per_scene():
+    """make_fused_infer's window-sliced, top_k-packed stacked output must
+    equal the per-scene full-width postproc path, scene for scene."""
+    import jax
+    from box2mask_tpu.engine import state as S
+    from box2mask_tpu.postprocess.device_post import (
+        make_fused_infer, stacked_masks_to_results)
+    cfg = _cfg()
+    valid_ids, sem_id2idx, _, is_fg = get_tables('scannet')
+
+    from box2mask_tpu.datasets import synthetic as syn
+    rets = []
+    for s in (3, 4):
+        scene, labels = syn.make_scene(
+            seed=s, num_instances=5, points_per_instance=250,
+            floor_points=900, wall_points=700)
+        ret = voxelize_scene(scene, cfg)
+        ret['labels'] = labels
+        supervision.build_supervision(ret, labels, scene, cfg, 'scannet')
+        rets.append(ret)
+    dev, host = build_batch(rets, cfg, sem_id2idx, mode='val')
+    batch = {k: jnp.asarray(v) for k, v in dev.items()}
+
+    model = S.build_model(cfg, num_classes=20)
+    variables = S.init_variables(model, batch)
+    params, stats = variables['params'], variables['batch_stats']
+    ths = jnp.asarray(cfg.eval_ths, jnp.float32)
+
+    infer = make_fused_infer(cfg, model, valid_ids, is_fg, max_masks=64,
+                             top_k=16)
+    pred, out = infer(params, stats, batch, ths)
+    out_np = jax.device_get(out)
+    full = S.ensure_maps(batch)
+    got = stacked_masks_to_results(
+        out_np, dev, host, valid_ids, mode='eval',
+        post_fallback=infer.post_full, pred=pred, dev_j=full, ths=ths)
+
+    # reference: unfused per-scene full-width postproc on the same pred
+    for si in range(len(host['scene'])):
+        ref_out = infer.post_full(pred, full, jnp.int32(si), ths)
+        ref = device_masks_to_results(
+            {k: np.asarray(v) for k, v in ref_out.items()},
+            dev, host, valid_ids, si)
+        name = host['scene'][si]['name']
+        np.testing.assert_allclose(ref[name]['conf'], got[name]['conf'],
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(ref[name]['label_id'],
+                                      got[name]['label_id'])
+        np.testing.assert_array_equal(ref[name]['mask'], got[name]['mask'])
+
+
+def test_cluster_cap_overflow_flag():
+    """Degenerate predictions (every segment its own high-score cluster) must
+    raise the cluster_cap_hit flag instead of silently dropping instances
+    (VERDICT r2: reference loop is unbounded, models/iou_nms.py:84-100)."""
+    import warnings as W
+    cfg = _cfg()
+    valid_ids, sem_id2idx, _, is_fg = get_tables('scannet')
+    dev, host, pred = _batch_and_pred(cfg, sem_id2idx, valid_ids, seeds=(3,))
+    S_pad = dev['seg_valid'].shape[0]
+    n_seg = int(dev['num_segments'])
+    # disjoint tiny boxes far apart -> every fg segment is its own cluster
+    rng = np.random.RandomState(1)
+    loc = dev['input_location']
+    pred[cfg.mlp_offsets] = np.zeros((S_pad, 3), np.float32)
+    pred[cfg.mlp_bounds] = np.full((S_pad, 3), 0.01, np.float32)
+    pred[cfg.mlp_bb_scores] = np.full((S_pad, 1), 4.0, np.float32)
+    # spread locations far apart so no clustering happens
+    dev = dict(dev)
+    dev['input_location'] = (np.arange(S_pad)[:, None]
+                             * np.array([10.0, 0, 0])).astype(np.float32)
+
+    cap = 8
+    assert n_seg > cap
+    post = make_device_postproc(cfg, valid_ids, is_fg, max_masks=cap)
+    out = post({k: jnp.asarray(v) for k, v in pred.items()},
+               {k: jnp.asarray(v) for k, v in dev.items()},
+               jnp.int32(0), jnp.asarray(cfg.eval_ths, jnp.float32))
+    assert bool(out['cluster_cap_hit'])
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter('always')
+        device_masks_to_results({k: np.asarray(v) for k, v in out.items()},
+                                dev, host, valid_ids, 0)
+    assert any('max_masks' in str(w.message) for w in rec)
