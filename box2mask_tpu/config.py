@@ -195,6 +195,15 @@ def config_parser():
         help='dtype of conv inputs/weights on the MXU; accumulation is float32.')
     add('--data_axis_size', type=int, default=None,
         help='Devices in the data-parallel mesh axis (default: all local devices).')
+    add('--spatial_shards', type=int, default=0,
+        help='Shard each scene spatially across this many devices (one scene '
+             'per step, halo-exchanged convs; parallel/spatial.py). The TPU '
+             'answer to the reference downsampling of huge scenes '
+             '(arkitscenes.py:351-354). 0/1 = off; mutually exclusive with '
+             '--multigpu.')
+    add('--spatial_gather_level', type=int, default=3,
+        help='U-Net level at which spatially-sharded scenes all_gather to '
+             'replicated compute (levels below stay sharded).')
     add('--prefetch_batches', type=int, default=2)
     add('--use_native_host_ops', default=True, action='store_true',
         help='Use the C host library for voxelization/neighbor maps when built.')
@@ -265,6 +274,10 @@ def get_config(args=None):
 
     if cfg.singlegpu:
         cfg.multigpu = False
+    if cfg.spatial_shards and cfg.spatial_shards > 1:
+        assert not cfg.multigpu, \
+            '--spatial_shards and --multigpu are mutually exclusive'
+        cfg.batch_size = 1          # one scene, sharded across devices
     if cfg.dont_align:
         cfg.align = False
     cfg.loss_on_fg_instances = not cfg.loss_on_all_instances

@@ -230,6 +230,21 @@ class BatchLoader:
 
     def _build(self, indices):
         rets = list(self._pool.map(self.dataset.__getitem__, indices))
+        if getattr(self.cfg, 'spatial_shards', 0) > 1:
+            # one scene split across the mesh (parallel/spatial.py); the
+            # host dict carries the standard per-scene metadata plus the
+            # static shard plan in 'spatial_meta'
+            from box2mask_tpu.parallel.spatial import build_spatial_unet_batch
+            assert len(rets) == 1, 'spatial sharding trains one scene/step'
+            dev, meta = build_spatial_unet_batch(
+                rets[0], self.cfg.spatial_shards,
+                gather_level=self.cfg.spatial_gather_level,
+                sem_id2idx=self.dataset.sem_id2idx)
+            host = {'scene': [rets[0]['scene']],
+                    'labels': [rets[0].get('labels')],
+                    'num_voxels': [len(rets[0]['vox_coords'])],
+                    'spatial_meta': meta}
+            return dev, host
         if self.num_shards == 1:
             return build_batch(rets, self.cfg, self.dataset.sem_id2idx,
                                mode=self.dataset.mode)

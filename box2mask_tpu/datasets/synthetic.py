@@ -67,11 +67,22 @@ def make_scene(seed=0, num_instances=8, points_per_instance=600,
         add(wp, np.array([0.7, 0.7, 0.65]), 1, next_inst, 4)
         next_inst += 1
 
-    # furniture instances
+    # furniture instances — rejection-sampled so boxes don't overlap (real
+    # rooms rarely have interpenetrating furniture; overlapping GT boxes
+    # also make the weak box->segment association ambiguous and merge the
+    # IoU-heatmap masks of distinct instances, which no trained model can fix)
+    placed = []
     for i in range(num_instances):
         sem_id = int(rng.choice(SCANNET_INSTANCE_VALID_CLASS_IDS))
-        half = rng.uniform(0.15, 0.6, 3)
-        center = np.array([rng.uniform(1, W - 1), rng.uniform(1, D - 1), half[2]])
+        for _ in range(50):
+            half = rng.uniform(0.15, 0.6, 3)
+            center = np.array([rng.uniform(1, W - 1), rng.uniform(1, D - 1),
+                               half[2]])
+            lo, hi = center - half, center + half
+            if all((lo > p_hi).any() or (hi < p_lo).any()
+                   for p_lo, p_hi in placed):
+                break
+        placed.append((center - half, center + half))
         pts = _box_surface_points(rng, center, half, points_per_instance)
         add(pts, rng.uniform(0.1, 0.9, 3), sem_id, next_inst, segs_per_instance)
         next_inst += 1

@@ -53,10 +53,29 @@ class Trainer:
         self.num_classes = num_classes or len(valid_ids)
 
         self.n_devices = 1
+        self.spatial = (cfg.spatial_shards
+                        if getattr(cfg, 'spatial_shards', 0) and
+                        cfg.spatial_shards > 1 else 0)
         if cfg.multigpu:
             self.n_devices = cfg.data_axis_size or len(jax.devices())
         axis = M.AXIS if self.n_devices > 1 else None
-        self.model = S.build_model(cfg, self.num_classes, axis_name=axis)
+        if self.spatial:
+            # one scene sharded across the mesh (parallel/spatial.py);
+            # parameter tree identical to SelectionNet so checkpoints
+            # interchange with the single-device path
+            from box2mask_tpu.parallel import spatial as SP
+            compute_dtype = {'bfloat16': jnp.bfloat16,
+                             'float32': jnp.float32}[cfg.compute_dtype]
+            self.model = SP.SpatialSelectionNet(
+                num_classes=self.num_classes,
+                heads=tuple(cfg.network_heads), layers=cfg.layers,
+                gather_level=cfg.spatial_gather_level,
+                do_segment_pooling=cfg.do_segment_pooling,
+                max_pool_segments=cfg.max_pool_segments_detection_net,
+                mlp_bounds_relu=cfg.mlp_bounds_relu,
+                compute_dtype=compute_dtype)
+        else:
+            self.model = S.build_model(cfg, self.num_classes, axis_name=axis)
         self.tx = S.make_optimizer(cfg)
 
         self.train_loader = train_dataset.get_loader(
@@ -90,6 +109,28 @@ class Trainer:
         if self.state is not None:
             return
         cfg = self.cfg
+        if self.spatial:
+            from box2mask_tpu.parallel import spatial as SP
+            import numpy as np
+            devs = jax.devices()[:self.spatial]
+            assert len(devs) == self.spatial, \
+                f'--spatial_shards {self.spatial} needs that many devices'
+            self.mesh = jax.sharding.Mesh(np.array(devs), (SP.AXIS,))
+            variables = SP.make_spatial_init(self.mesh, self.model,
+                                             sample_batch,
+                                             seed=cfg.fixed_seed or 0)
+            self.state = S.TrainState(
+                params=variables['params'],
+                batch_stats=variables['batch_stats'],
+                opt_state=self.tx.init(variables['params']),
+                step=jnp.int32(0))
+            self._train_step = SP.make_spatial_train_step(
+                self.mesh, cfg, self.model, self.tx, sample_batch)
+            self._val_step_spatial = SP.make_spatial_val_step(
+                self.mesh, cfg, self.model, sample_batch)
+            self._val_step = None
+            self._resume()
+            return
         init_model = S.build_model(cfg, self.num_classes, axis_name=None)
         self.state = S.init_state(cfg, init_model, self.tx, sample_batch,
                                   seed=cfg.fixed_seed or 0)
@@ -149,8 +190,10 @@ class Trainer:
             if i >= self.cfg.num_eval_batches:
                 break
             batch = {k: jnp.asarray(v) for k, v in dev.items()}
-            ld = self._val_step(self.state, batch, jnp.float32(bb_w),
-                                jnp.float32(cs_w))
+            step = (self._val_step_spatial if self.spatial
+                    else self._val_step)
+            ld = step(self.state, batch, jnp.float32(bb_w),
+                      jnp.float32(cs_w))
             for k, v in ld.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1

@@ -30,8 +30,11 @@ def kaiming_fan_out(key, shape, dtype=jnp.float32):
 
 def nbr_kernel_volume(nbr):
     """Kernel volume of a conv operand: nmap column count, or derived from a
-    key_conv window-plan dict (sparse/key_conv.py)."""
+    key_conv window-plan dict (sparse/key_conv.py), or the nmap column count
+    of a spatial halo operand (parallel/spatial.py)."""
     if isinstance(nbr, dict):
+        if 'slab_left' in nbr:
+            return nbr['nmap'].shape[-1]
         ksize, stride_child, _ = nbr['static']
         return 8 if stride_child else ksize ** 3
     return nbr.shape[-1]

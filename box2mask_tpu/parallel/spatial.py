@@ -169,3 +169,546 @@ def make_spatial_conv_stack(mesh, n_layers, axis=AXIS,
         return x[None]
 
     return jax.jit(stack)
+
+
+# ---------------------------------------------------------------------------
+# Full-U-Net spatial sharding (round 3): one scene's SelectionNet forward
+# split across the mesh. Levels 0..G-1 (G = gather_level) hold almost all
+# voxels and are sharded as contiguous key-sorted slabs with halo-exchanged
+# convs; levels G..7 are tiny (<= V/8^G rows) and run replicated on every
+# device after one all_gather. This is the TPU answer to the reference's
+# downsampling of huge scenes (config_loader.py:33-35,
+# dataprocessing/arkitscenes.py:351-354): full resolution, D-way memory.
+# ---------------------------------------------------------------------------
+
+def build_spatial_unet_batch(ret, n_shards, gather_level=3, stem_kernel=5,
+                             bucket=128, halo_bucket=128, seg_bucket=64,
+                             num_levels=8, sem_id2idx=None):
+    """Host: build the sharded batch for ONE scene's full SelectionNet forward.
+
+    Returns (dev, meta):
+      dev: dict of arrays; 'sp_*' arrays carry a leading shard axis (D, ...)
+           and shard over the mesh 'space' axis; everything else is
+           replicated. Includes the standard replicated pyramid ('g_' prefix)
+           for levels >= gather_level plus segment-level arrays under their
+           usual names (input_location, seg_valid, ...).
+      meta: static ints the forward needs: halos per level, pads, G, D.
+
+    Halo sizes are MEASURED from the actual global neighbor maps (the rows
+    each shard's consumers reference beyond its slab), rounded to
+    halo_bucket — not defaulted to the shard width (round-2 review weak #7).
+    """
+    from box2mask_tpu.sparse.coords import (build_scene_pyramid,
+                                            batch_pyramids, pack, round_up)
+    G, D = gather_level, n_shards
+    coords = np.asarray(ret['vox_coords'])
+    keys0 = pack(coords)
+    perm = np.argsort(keys0, kind='stable')
+    assert len(np.unique(keys0)) == len(keys0), 'voxel coords must be unique'
+    coords = coords[perm]
+    feats = np.asarray(ret['vox_features'])[perm]
+    vox_seg = np.asarray(ret['seg2vox'])[perm]        # per-voxel segment id
+
+    pyr = build_scene_pyramid(coords, num_levels=num_levels,
+                              stem_kernel=stem_kernel)
+    level_keys = [pack(pyr[f'coords{l}'].astype(np.int64))
+                  for l in range(num_levels)]
+    n_l = [len(k) for k in level_keys]
+
+    # shard bounds: balanced at level 0; coarser levels follow by flooring the
+    # level-0 boundary keys so every level's slab d covers the same space
+    bounds = np.zeros((G + 1, D + 1), np.int64)
+    per = -(-n_l[0] // D)
+    bounds[0] = [min(i * per, n_l[0]) for i in range(D + 1)]
+    for l in range(1, G + 1):
+        m = ~np.int64((1 << l) - 1)
+        bkeys = []
+        for d in range(D + 1):
+            b0 = bounds[0][d]
+            if b0 >= n_l[0]:
+                bkeys.append(np.int64(1) << 62)
+            else:
+                c0 = pyr['coords0'][b0].astype(np.int64)
+                bkeys.append(pack((c0 & m)[None, :])[0])
+        bounds[l] = np.searchsorted(level_keys[l], np.asarray(bkeys))
+        bounds[l][-1] = n_l[l]
+
+    pads = [max(round_up(int(np.diff(bounds[l]).max()), bucket), bucket)
+            for l in range(G)]
+    padG_shard = max(round_up(int(np.diff(bounds[G]).max()), bucket), bucket)
+
+    # ---- measure halo needs per sharded level from the global maps --------
+    # consumers of level-l rows: nmap3_l (out rows level l), nmap5_0 (l==0),
+    # down{l} (out rows level l+1), up_parent{l-1} (out rows level l-1,
+    # values reference level l)
+    need = np.zeros((G, D, 2), np.int64)
+
+    def _account_map(mp, in_level, out_bounds):
+        mp = np.asarray(mp, np.int64)     # int64 BEFORE the max-sentinel
+        if mp.ndim == 1:                  # where() below (int32 would wrap)
+            mp = mp[:, None]
+        masked_min = np.where(mp < 0, np.iinfo(np.int64).max, mp).min(axis=1)
+        masked_max = np.where(mp < 0, -1, mp).max(axis=1)
+        for d in range(D):
+            lo_o, hi_o = out_bounds[d], out_bounds[d + 1]
+            mi = masked_min[lo_o:hi_o]
+            ma = masked_max[lo_o:hi_o]
+            mi = mi[mi != np.iinfo(np.int64).max]
+            ma = ma[ma >= 0]
+            if not len(mi):
+                continue
+            lo_i, hi_i = bounds[in_level][d], bounds[in_level][d + 1]
+            need[in_level, d, 0] = max(need[in_level, d, 0],
+                                       lo_i - int(mi.min()))
+            need[in_level, d, 1] = max(need[in_level, d, 1],
+                                       int(ma.max()) + 1 - hi_i)
+
+    for l in range(G):
+        _account_map(pyr[f'nmap3_{l}'], l, bounds[l])
+        if l == 0:
+            _account_map(pyr['nmap5_0'], 0, bounds[0])
+        _account_map(pyr[f'down{l}'], l, bounds[l + 1])   # out rows level l+1
+        if l + 1 < G:
+            _account_map(pyr[f'up_parent{l}'], l + 1, bounds[l])
+    halos = [max(halo_bucket, round_up(int(need[l].max()), halo_bucket))
+             for l in range(G)]
+    for l in range(G):
+        smallest = int(np.diff(bounds[l]).min())
+        if halos[l] > smallest:
+            raise ValueError(
+                f'level {l}: halo {halos[l]} exceeds smallest shard '
+                f'{smallest}; use fewer shards for this scene')
+
+    dev = {}
+
+    def _to_ext(mp, in_level, out_bounds, d):
+        """Global row refs -> ext-space indices for shard d (sentinel = ext)."""
+        H = halos[in_level]
+        pad = pads[in_level] if in_level < G else padG_shard
+        lo = bounds[in_level][d]
+        hi = bounds[in_level][d + 1]
+        sent = H + pad + H
+        mp = np.asarray(mp, np.int64)
+        out = np.where(mp < 0, sent, mp - lo + H)
+        # right halo rows sit after the PADDED local block
+        out = np.where((mp >= hi), mp - hi + H + pad, out)
+        assert ((out >= 0) & (out <= sent)).all()
+        return out.astype(np.int32)
+
+    def _shard_rows(arr, l, out_bounds, fill, ncols=None):
+        """Stack per-shard row slices of a global per-row array, padded."""
+        pad = pads[l] if l < G else padG_shard
+        shp = (D, pad) + tuple(np.asarray(arr).shape[1:])
+        out = np.full(shp, fill, np.asarray(arr).dtype)
+        for d in range(D):
+            lo, hi = out_bounds[d], out_bounds[d + 1]
+            out[d, :hi - lo] = arr[lo:hi]
+        return out
+
+    # features / validity / pooling at level 0
+    dev['sp_feats'] = _shard_rows(feats.astype(np.float32), 0, bounds[0], 0.0)
+    seg_ids = np.asarray(vox_seg, np.int64)
+    S = int(seg_ids.max()) + 1 if len(seg_ids) else 0
+    S_pad = max(round_up(max(S, 1), seg_bucket), seg_bucket)
+    dev['sp_pool'] = _shard_rows(seg_ids.astype(np.int32), 0, bounds[0],
+                                 S_pad)
+    for l in range(G):
+        nd = np.diff(bounds[l])
+        valid = np.zeros((D, pads[l]), bool)
+        for d in range(D):
+            valid[d, :nd[d]] = True
+        dev[f'sp_valid{l}'] = valid
+        dev[f'sp_num{l}'] = nd.astype(np.int32)
+
+    # maps into ext spaces, per shard
+    for l in range(G):
+        H = halos[l]
+        dev[f'sp_nmap3_{l}'] = np.stack([
+            _to_ext(_shard_rows(pyr[f'nmap3_{l}'], l, bounds[l],
+                                -1)[d], l, bounds[l], d)
+            for d in range(D)])
+        # slabs: rows each shard sends (local indices; sentinel pad = zeros).
+        # shard d's left halo = global rows [lo-H, lo) = last H rows of the
+        # LEFT neighbor  -> neighbor's slab_right; right halo analogous.
+        slabL = np.full((D, H), pads[l], np.int32)
+        slabR = np.full((D, H), pads[l], np.int32)
+        for d in range(D):
+            lo, hi = bounds[l][d], bounds[l][d + 1]
+            nd = hi - lo
+            if d + 1 < D:                 # send my LAST H rows to the right
+                k = min(H, nd)
+                slabR[d, H - k:] = np.arange(nd - k, nd)
+            if d > 0:                     # send my FIRST H rows to the left
+                k = min(H, nd)
+                slabL[d, :k] = np.arange(0, k)
+        dev[f'sp_slabL{l}'] = slabL
+        dev[f'sp_slabR{l}'] = slabR
+    dev['sp_nmap5'] = np.stack([
+        _to_ext(_shard_rows(pyr['nmap5_0'], 0, bounds[0], -1)[d],
+                0, bounds[0], d) for d in range(D)])
+    for l in range(G - 1):
+        dev[f'sp_down{l}'] = np.stack([
+            _to_ext(_shard_rows(pyr[f'down{l}'], l + 1, bounds[l + 1],
+                                -1)[d], l, bounds[l + 1], d)
+            for d in range(D)])
+        dev[f'sp_up_parent{l}'] = np.stack([
+            _to_ext(_shard_rows(pyr[f'up_parent{l}'], l, bounds[l],
+                                -1)[d], l + 1, bounds[l], d)
+            for d in range(D)])
+        dev[f'sp_up_widx{l}'] = _shard_rows(pyr[f'up_widx{l}'], l,
+                                            bounds[l], 0)
+    # transition maps at the gather level
+    dev['sp_downG'] = np.stack([
+        _to_ext(_shard_rows(pyr[f'down{G - 1}'], G, bounds[G], -1)[d],
+                G - 1, bounds[G], d) for d in range(D)])
+
+    # replicated pyramid for levels >= G (standard padded single-scene batch)
+    g = batch_pyramids([pyr], vox_bucket=bucket)
+    padG_full = g[f'valid{G}'].shape[0]
+    for k, v in g.items():
+        dev[f'g_{k}'] = v
+    # up transpose G -> G-1: parent rows index the REPLICATED level-G array
+    up_pG = _shard_rows(pyr[f'up_parent{G - 1}'], G - 1, bounds[G - 1], -1)
+    dev['sp_up_parentG'] = np.where(up_pG < 0, padG_full,
+                                    up_pG).astype(np.int32)
+    dev['sp_up_widxG'] = _shard_rows(pyr[f'up_widx{G - 1}'], G - 1,
+                                     bounds[G - 1], 0)
+    # gather: global padded level-G row -> flattened (D*padG_shard) local row
+    gather_rows = np.full(padG_full, D * padG_shard, np.int32)
+    for d in range(D):
+        lo, hi = bounds[G][d], bounds[G][d + 1]
+        gather_rows[lo:hi] = d * padG_shard + np.arange(hi - lo)
+    dev['sp_gather_rows'] = gather_rows
+
+    # segment-level arrays (replicated) under the standard batch names
+    loc = np.zeros((S_pad, 3), np.float32)
+    il = np.asarray(ret['input_location'], np.float32)
+    loc[:len(il)] = il
+    dev['input_location'] = loc
+    dev['seg_valid'] = np.arange(S_pad) < S
+    dev['num_segments'] = np.int32(S)
+    dev['batch_ids'] = np.where(np.arange(S_pad) < S, 0, -1).astype(np.int32)
+
+    # supervision targets (replicated; same names as datasets/batching.py so
+    # nn/losses.compute_losses works unchanged on the spatial batch)
+    if 'gt_bb_offsets' in ret:
+        from box2mask_tpu.datasets import tables
+        from box2mask_tpu.datasets.batching import map_semantics_to_idx
+
+        def _seg_pad(key, fill, dtype):
+            a = np.asarray(ret[key])
+            out = np.full((S_pad,) + a.shape[1:], fill, dtype)
+            out[:len(a)] = a
+            return out
+
+        dev['gt_bb_offsets'] = _seg_pad('gt_bb_offsets', 0.0, np.float32)
+        dev['gt_bb_bounds'] = _seg_pad('gt_bb_bounds', 0.0, np.float32)
+        dev['fg_instances'] = _seg_pad('fg_instances', False, bool)
+        gt_sem = _seg_pad('gt_semantics', 0, np.int32)
+        dev['gt_semantics'] = gt_sem
+        if sem_id2idx is not None:
+            dev['gt_semantics_idx'] = np.where(
+                dev['seg_valid'], map_semantics_to_idx(gt_sem, sem_id2idx),
+                tables.IGNORE).astype(np.int32)
+
+    meta = {'halos': halos, 'pads': pads, 'gather_level': G, 'n_shards': D,
+            'padG_shard': padG_shard, 'padG_full': padG_full, 'S_pad': S_pad,
+            'perm': perm, 'bounds0': bounds[0].copy(),
+            'boundsG': bounds[G].copy()}
+    return dev, meta
+
+
+class SpatialSelectionNet:
+    """Flax-compatible spatial forward of SelectionNet over a device mesh.
+
+    Parameter tree is IDENTICAL to nn.unet.SelectionNet (same module names in
+    the same structure), so checkpoints interchange freely; only the data
+    movement differs: levels < gather_level run sharded with halo-exchanged
+    convs, levels >= gather_level run replicated after one all_gather.
+    Runs INSIDE shard_map (see make_spatial_apply); every 'sp_' batch array
+    is this device's shard, everything else replicated.
+    """
+
+    def __new__(cls, *a, **k):
+        # implemented as a flax module factory to keep flax.linen metaclass
+        # behavior while living outside nn/ (avoids an import cycle)
+        import flax.linen as nn_
+        from box2mask_tpu.nn.modules import (BasicBlock, MaskedBatchNorm,
+                                             SparseConv, SparseConvTranspose)
+        from box2mask_tpu.nn import unet as U
+
+        class _Spatial(nn_.Module):
+            num_classes: int
+            heads: tuple = ('mlp_offsets', 'mlp_bounds', 'mlp_bb_scores',
+                            'mlp_semantics')
+            layers: int = 2
+            gather_level: int = 3
+            do_segment_pooling: bool = True
+            max_pool_segments: bool = False
+            mlp_bounds_relu: bool = False
+            stem_kernel: int = 5
+            compute_dtype: jnp.dtype = jnp.bfloat16
+
+            @nn_.compact
+            def __call__(self, batch, train: bool = True):
+                G = self.gather_level
+                cd = self.compute_dtype
+
+                def sp_op(nmap, l):
+                    return {'nmap': nmap,
+                            'slab_left': batch[f'sp_slabL{l}'],
+                            'slab_right': batch[f'sp_slabR{l}'],
+                            'halo': batch[f'sp_slabL{l}'].shape[-1]}
+
+                def vn(l):
+                    if l < G:
+                        return batch[f'sp_valid{l}'], batch[f'sp_num{l}']
+                    return batch[f'g_valid{l}'], batch[f'g_num{l}']
+
+                def ax(l):
+                    return AXIS if l < G else None
+
+                def bn(name, l):
+                    return MaskedBatchNorm(axis_name=ax(l), name=name)
+
+                def blocks(x, l, planes, stage):
+                    nbr = (sp_op(batch[f'sp_nmap3_{l}'], l) if l < G
+                           else batch[f'g_nmap3_{l}'])
+                    v, n = vn(l)
+                    for i in range(self.layers):
+                        x = BasicBlock(planes, axis_name=ax(l),
+                                       compute_dtype=cd,
+                                       name=f'{stage}_block{i}')(
+                            x, nbr, v, n, train)
+                    return x
+
+                x = SparseConv(U.INIT_DIM, self.stem_kernel ** 3,
+                               compute_dtype=cd, name='stem_conv')(
+                    batch['sp_feats'], sp_op(batch['sp_nmap5'], 0))
+                v, n = vn(0)
+                x = bn('stem_bn', 0)(x, v, n, train)
+                x = jax.nn.relu(x)
+                skips = [x]
+
+                for l in range(1, 8):
+                    if l < G:
+                        nbr = sp_op(batch[f'sp_down{l - 1}'], l - 1)
+                    elif l == G:
+                        nbr = sp_op(batch['sp_downG'], G - 1)
+                    else:
+                        nbr = batch[f'g_down{l - 1}']
+                    x = SparseConv(x.shape[-1], 8, compute_dtype=cd,
+                                   name=f'down{l}_conv')(x, nbr)
+                    if l == G:
+                        # shards -> replicated global level-G rows. Built as
+                        # psum(zeros.at[my slot].set(local)) rather than
+                        # all_gather: psum's transpose is psum, so the
+                        # backward correctly SUMS every device's partial
+                        # cotangents for each slot — all_gather's transpose
+                        # slices only the local block and silently drops the
+                        # cross-shard boundary contributions that arrive via
+                        # the decoder's up-transpose scatter (caught by
+                        # tests/test_spatial_unet.py grad equality).
+                        ps = x.shape[0]
+                        d_idx = jax.lax.axis_index(AXIS)
+                        buf = jnp.zeros(
+                            (jax.lax.axis_size(AXIS) * ps, x.shape[-1]),
+                            x.dtype)
+                        buf = jax.lax.dynamic_update_slice(
+                            buf, x, (d_idx * ps, 0))
+                        flat = jax.lax.psum(buf, AXIS)
+                        flat = jnp.concatenate(
+                            [flat, jnp.zeros((1, x.shape[-1]), flat.dtype)],
+                            axis=0)
+                        x = jnp.take(flat, batch['sp_gather_rows'], axis=0)
+                    v, n = vn(l)
+                    x = bn(f'down{l}_bn', l)(x, v, n, train)
+                    x = jax.nn.relu(x)
+                    x = blocks(x, l, U.ENC_PLANES[l - 1], f'enc{l}')
+                    skips.append(x)
+
+                for i, l in enumerate(range(6, -1, -1)):
+                    if l + 1 > G:
+                        xc = x
+                        parent = batch[f'g_up_parent{l}']
+                        widx = batch[f'g_up_widx{l}']
+                    elif l + 1 == G:
+                        xc = x                    # replicated level-G rows
+                        parent = batch['sp_up_parentG']
+                        widx = batch['sp_up_widxG']
+                    else:
+                        xc = halo_extend(
+                            x, batch[f'sp_slabL{l + 1}'],
+                            batch[f'sp_slabR{l + 1}'],
+                            batch[f'sp_slabL{l + 1}'].shape[-1])
+                        parent = batch[f'sp_up_parent{l}']
+                        widx = batch[f'sp_up_widx{l}']
+                    x = SparseConvTranspose(U.DEC_PLANES[i], compute_dtype=cd,
+                                            name=f'up{l}_tr')(xc, parent,
+                                                              widx)
+                    v, n = vn(l)
+                    x = bn(f'up{l}_bn', l)(x, v, n, train)
+                    x = jax.nn.relu(x)
+                    x = jnp.concatenate([x, skips[l]], axis=-1)
+                    x = blocks(x, l, U.DEC_PLANES[i], f'dec{l}')
+
+                outputs = {}
+                if any('per_vox' in h for h in self.heads):
+                    outputs['vox_feats'] = x     # sharded (this device's rows)
+
+                if self.do_segment_pooling:
+                    S_pad = batch['seg_valid'].shape[0]
+                    pool_ids = batch['sp_pool']
+                    if self.max_pool_segments:
+                        # NOTE empty-local-segment rows contribute 0 (matches
+                        # single-device segment_max's empty behavior)
+                        part = ops.segment_max(x, pool_ids, S_pad)
+                        pooled = jax.lax.pmax(part, AXIS)
+                    else:
+                        s = ops.segment_sum(x, pool_ids, S_pad)
+                        c = ops.segment_sum(
+                            jnp.ones((x.shape[0], 1), jnp.float32),
+                            pool_ids, S_pad)
+                        s = jax.lax.psum(s, AXIS)
+                        c = jax.lax.psum(c, AXIS)
+                        pooled = s / jnp.maximum(c, 1.0)
+                    pv, pn = batch['seg_valid'], batch['num_segments']
+                else:
+                    pooled, (pv, pn) = x, vn(0)
+
+                head_dims = {'mlp_offsets': 3, 'mlp_bounds': 3,
+                             'mlp_bb_scores': 1, 'mlp_center_scores': 1,
+                             'mlp_semantics': self.num_classes,
+                             'mlp_per_vox_semantics': self.num_classes}
+                for head in self.heads:
+                    if 'per_vox' in head:
+                        v0, n0 = vn(0)
+                        out = U.HeadMLP(head_dims[head], axis_name=AXIS,
+                                        compute_dtype=cd, name=head)(
+                            x, v0, n0, train)
+                    else:
+                        out = U.HeadMLP(head_dims[head], axis_name=None,
+                                        compute_dtype=cd, name=head)(
+                            pooled, pv, pn, train)
+                    if self.mlp_bounds_relu and head == 'mlp_bounds':
+                        out = jax.nn.relu(out)
+                    outputs[head] = out
+                return outputs
+
+        return _Spatial(*a, **k)
+
+
+def spatial_in_specs(dev):
+    """PartitionSpec per batch key: 'sp_' arrays shard over the space axis
+    (except the replicated gather map), everything else is replicated."""
+    return {k: (P(AXIS) if k.startswith('sp_') and k != 'sp_gather_rows'
+                else P())
+            for k in dev}
+
+
+def make_spatial_apply(mesh, model, dev, train=False, mutable=False):
+    """jitted fn(variables, dev_batch) -> head outputs (replicated).
+
+    dev_batch: arrays from build_spatial_unet_batch ('sp_' arrays lead with
+    the shard axis). The forward runs under shard_map over mesh axis 'space';
+    sharded block views are squeezed to this device's rows before apply."""
+    specs = spatial_in_specs(dev)
+    sharded = {k for k, s in specs.items() if s == P(AXIS)}
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(), specs), out_specs=P(),
+        check_vma=False)
+    def fwd(variables, batch):
+        local = {k: (v[0] if k in sharded else v) for k, v in batch.items()}
+        if mutable:
+            return model.apply(variables, local, train=train,
+                               mutable=['batch_stats'])
+        return model.apply(variables, local, train=train)
+
+    return jax.jit(fwd)
+
+
+def make_spatial_train_step(mesh, cfg, model, tx, dev):
+    """jitted (state, batch, lr, bb_w, cs_w) -> (state, loss_dict) for ONE
+    spatially-sharded scene.
+
+    Gradient math under shard_map (verified by tests/test_spatial_unet.py's
+    grad-equality check): the loss is computed identically on every device
+    from the psum'd segment pool. With check_vma off, shard_map transposes
+    `psum` to `psum`, so the pool's VJP hands every device D x the true
+    pooled cotangent; below the pool each device then holds D x its true
+    partial contribution (psum'd grads = D x true), and the head MLPs above
+    the pool compute the full gradient on every device (psum'd = D x true as
+    well). One uniform 1/D after `psum(grads)` therefore recovers the exact
+    single-device gradients for EVERY parameter."""
+    import optax
+    from box2mask_tpu.nn import losses as L
+    from box2mask_tpu.engine.state import TrainState
+    specs = spatial_in_specs(dev)
+    sharded = {k for k, s in specs.items() if s == P(AXIS)}
+    D = mesh.shape[AXIS]
+    assert not any('per_vox' in h for h in model.heads), \
+        'per-vox heads are not supported under --spatial_shards yet'
+
+    def local_step(state, batch, lr, bb_w, cs_w):
+        local = {k: (v[0] if k in sharded else v) for k, v in batch.items()}
+
+        def loss_fn(params, batch_stats):
+            out, mut = model.apply(
+                {'params': params, 'batch_stats': batch_stats}, local,
+                train=True, mutable=['batch_stats'])
+            ld = L.compute_losses(cfg, out, local, bb_w, cs_w)
+            return ld['optimization_loss'], (ld, mut['batch_stats'])
+
+        (_, (ld, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats)
+        grads = jax.tree.map(lambda g: g / D,
+                             jax.lax.psum(grads, AXIS))
+        opt_state = state.opt_state
+        opt_state.hyperparams['learning_rate'] = lr
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, new_stats, opt_state, state.step + 1), ld
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), specs, P(), P(), P()), out_specs=P(),
+        check_vma=False)
+    return jax.jit(step)
+
+
+def make_spatial_init(mesh, model, dev, seed=0):
+    """Initialize variables by running the spatial module once inside
+    shard_map (its collectives need the mesh). Params are identical on every
+    device; the tree matches nn.unet.SelectionNet exactly."""
+    specs = spatial_in_specs(dev)
+    sharded = {k for k, s in specs.items() if s == P(AXIS)}
+
+    full = {k: jnp.asarray(v) for k, v in dev.items()}
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(P(), specs),
+                       out_specs=P(), check_vma=False)
+    def init_sharded(key, batch):
+        local = {k: (v[0] if k in sharded else v) for k, v in batch.items()}
+        return model.init(key, local, train=False)
+
+    return jax.jit(init_sharded)(jax.random.PRNGKey(seed), full)
+
+
+def make_spatial_val_step(mesh, cfg, model, dev):
+    """jitted (state, batch, bb_w, cs_w) -> loss dict (eval-mode forward)."""
+    from box2mask_tpu.nn import losses as L
+    specs = spatial_in_specs(dev)
+    sharded = {k for k, s in specs.items() if s == P(AXIS)}
+
+    def local_step(state, batch, bb_w, cs_w):
+        local = {k: (v[0] if k in sharded else v) for k, v in batch.items()}
+        out = model.apply({'params': state.params,
+                           'batch_stats': state.batch_stats}, local,
+                          train=False)
+        return L.compute_losses(cfg, out, local, bb_w, cs_w)
+
+    step = shard_map(local_step, mesh=mesh,
+                     in_specs=(P(), specs, P(), P()), out_specs=P(),
+                     check_vma=False)
+    return jax.jit(step)

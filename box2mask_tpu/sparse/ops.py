@@ -38,6 +38,17 @@ def gather_conv(x, nbr, w, compute_dtype=jnp.bfloat16, unroll_threshold=9,
     With use_pallas=True (and tile-aligned shapes) dispatches to the fused
     window-gather MXU kernel (sparse/pallas_conv.py).
     """
+    if isinstance(nbr, dict) and 'slab_left' in nbr:
+        # spatially-sharded operand (parallel/spatial.py): exchange boundary
+        # rows with the mesh neighbors (one ppermute hop each way), then
+        # gather-GEMM over the extended [halo|local|halo] row space.
+        from box2mask_tpu.parallel import spatial
+        ext = spatial.halo_extend(x, nbr['slab_left'], nbr['slab_right'],
+                                  nbr['halo'], axis=nbr.get('axis',
+                                                            spatial.AXIS))
+        return gather_conv(ext, nbr['nmap'], w, compute_dtype=compute_dtype,
+                           unroll_threshold=unroll_threshold,
+                           use_pallas=use_pallas)
     if isinstance(nbr, dict):
         # key_conv window-plan operand (sparse/key_conv.py): the conv matches
         # packed keys in-window inside the kernel — no neighbor map exists.

@@ -1,0 +1,152 @@
+"""Full-SelectionNet spatial sharding vs single-device: forward equality and
+train-step gradient equality on the virtual CPU mesh.
+
+This is the round-3 integration of parallel/spatial.py into the real network
+(round-2 review item #4): the same parameter tree as nn.unet.SelectionNet,
+levels < gather_level sharded with halo-exchanged convs, coarse levels
+replicated after one all_gather. The reference's answer to huge scenes is
+downsampling (dataprocessing/arkitscenes.py:351-354); this path keeps every
+voxel.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from box2mask_tpu.config import get_config
+from box2mask_tpu.datasets import synthetic, supervision
+from box2mask_tpu.datasets.voxelize import voxelize_scene
+from box2mask_tpu.datasets.batching import build_batch
+from box2mask_tpu.datasets.tables import get_tables
+from box2mask_tpu.engine import state as S
+from box2mask_tpu.nn.unet import SelectionNet
+from box2mask_tpu.nn import losses as L
+from box2mask_tpu.parallel import spatial as SP
+
+D, G = 4, 2
+
+
+def _cfg():
+    return get_config([
+        '--dataset_name', 'synthetic',
+        '--network_heads', 'mlp_offsets', 'mlp_bounds', 'mlp_bb_scores',
+        'mlp_semantics',
+        '--do_segment_pooling', '--bb_supervision', '--smallest_bb_heuristic',
+        '--loss_weight_bb_bounds', '0.5', '--loss_weight_bb_scores', '1',
+        '--loss_weight_semantics', '1',
+        '--voxel_size', '0.05', '--vox_bucket', '512', '--seg_bucket', '64',
+        '--layers', '1', '--exp_name', 'test_spatial_unet'])
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = _cfg()
+    valid_ids, sem_id2idx, _, _ = get_tables('scannet')
+    scene, labels = synthetic.make_scene(
+        seed=11, num_instances=6, points_per_instance=400,
+        floor_points=2000, wall_points=1500)
+    ret = voxelize_scene(scene, cfg)
+    ret['labels'] = labels
+    supervision.build_supervision(ret, labels, scene, cfg, 'scannet')
+    dev_std, host = build_batch([ret], cfg, sem_id2idx, mode='val',
+                                device_maps=False)
+    batch_std = {k: jnp.asarray(v) for k, v in dev_std.items()}
+    model = SelectionNet(num_classes=20, heads=tuple(cfg.network_heads),
+                         layers=1, compute_dtype=jnp.float32)
+    variables = S.init_variables(model, batch_std)
+
+    dev_sp, meta = SP.build_spatial_unet_batch(
+        ret, n_shards=D, gather_level=G, bucket=32, halo_bucket=64,
+        seg_bucket=64, sem_id2idx=sem_id2idx)
+    mesh = Mesh(np.array(jax.devices()[:D]), (SP.AXIS,))
+    model_sp = SP.SpatialSelectionNet(
+        num_classes=20, heads=tuple(cfg.network_heads), layers=1,
+        gather_level=G, compute_dtype=jnp.float32)
+    return (cfg, ret, dev_std, batch_std, model, variables, dev_sp, meta,
+            mesh, model_sp)
+
+
+def test_halos_measured_not_defaulted(setup):
+    """Halo sizes come from the measured key span (weak #7), not the shard
+    width: they must be below the per-shard pad."""
+    meta = setup[7]
+    for l, h in enumerate(meta['halos']):
+        assert h < meta['pads'][l], (l, h, meta['pads'][l])
+
+
+def test_spatial_forward_matches_single_device(setup):
+    (cfg, ret, dev_std, batch_std, model, variables, dev_sp, meta, mesh,
+     model_sp) = setup
+    ref = model.apply(variables, batch_std, train=False)
+    apply = SP.make_spatial_apply(mesh, model_sp, dev_sp, train=False)
+    out = apply(variables, {k: jnp.asarray(v) for k, v in dev_sp.items()})
+    Sn = int(dev_std['num_segments'])
+    for h in cfg.network_heads:
+        np.testing.assert_allclose(np.asarray(ref[h])[:Sn],
+                                   np.asarray(out[h])[:Sn],
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_spatial_grads_match_single_device(setup):
+    """One training step's gradients: psum'd shard contributions (+ the 1/D
+    head rescale, see make_spatial_train_step) must equal the single-device
+    gradients of the identical loss."""
+    (cfg, ret, dev_std, batch_std, model, variables, dev_sp, meta, mesh,
+     model_sp) = setup
+    bb_w, cs_w = jnp.float32(1.0), jnp.float32(0.0)
+
+    def std_loss(params):
+        out, _ = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            batch_std, train=True, mutable=['batch_stats'])
+        return L.compute_losses(cfg, out, batch_std, bb_w, cs_w)[
+            'optimization_loss']
+
+    ref_grads = jax.grad(std_loss)(variables['params'])
+
+    import functools
+    from jax.sharding import PartitionSpec as P
+    specs = SP.spatial_in_specs(dev_sp)
+    sharded = {k for k, s in specs.items() if s == P(SP.AXIS)}
+
+    @functools.partial(SP.shard_map, mesh=mesh, in_specs=(P(), specs),
+                       out_specs=P(), check_vma=False)
+    def sp_grads(params, batch):
+        local = {k: (v[0] if k in sharded else v) for k, v in batch.items()}
+
+        def loss_fn(p):
+            out, _ = model_sp.apply(
+                {'params': p, 'batch_stats': variables['batch_stats']},
+                local, train=True, mutable=['batch_stats'])
+            return L.compute_losses(cfg, out, local, bb_w, cs_w)[
+                'optimization_loss']
+
+        g = jax.grad(loss_fn)(params)
+        # psum transposes to psum under check_vma=False, handing each device
+        # D x the true pooled cotangent — one uniform 1/D recovers the exact
+        # single-device gradients (see make_spatial_train_step)
+        return jax.tree.map(lambda x: x / D, jax.lax.psum(g, SP.AXIS))
+
+    got = jax.jit(sp_grads)(variables['params'],
+                            {k: jnp.asarray(v) for k, v in dev_sp.items()})
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_grads)
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(got))
+    checked = 0
+    for path, rg in flat_ref:
+        gg = flat_got[path]
+        # float32 summation reordering flips borderline ReLU masks on a
+        # measure-zero set of elements (identical 31/663k elements across
+        # unrelated formulations), so exact allclose is unattainable; a
+        # STRUCTURAL error (wrong collective transpose, missing psum)
+        # mismatches ~100% of a leaf by a D-factor. Assert distributionally:
+        # almost all elements tight, and no leaf-wide blowup.
+        scale = max(1e-3, float(jnp.abs(rg).max()))
+        diff = np.abs(np.asarray(gg) - np.asarray(rg)) / scale
+        n_loose = int((diff > 3e-2).sum())
+        allowed = max(2, int(5e-4 * diff.size))
+        assert n_loose <= allowed, (str(path), n_loose, allowed)
+        assert float(diff.max()) < 0.5, (str(path), float(diff.max()))
+        checked += 1
+    assert checked > 50
