@@ -32,6 +32,12 @@ BASE = ['--config', 'configs/synthetic.txt',
         '--overfit_to_single_scene_str', SCENE,
         '--fixed_seed', '10',         # augs are off in the synthetic preset:
                                       # overfit target = eval target exactly
+        # 2cm voxels so the deep U-Net levels hold >1 voxel: at 5cm the 6m
+        # room is ONE stride-128 voxel, the deep BatchNorms see zero
+        # variance, and the eval-mode running-stats amplify residual float
+        # error by rsqrt(eps)~316 per layer into garbage predictions (the
+        # reference has the same math; real scenes populate the deep levels)
+        '--voxel_size', '0.02',
         '--vox_bucket', '2048', '--seg_bucket', '128',
         '--layers', '1', '--num_workers', '2',
         '--mlp_bb_scores_start_epoch', '1',
