@@ -212,11 +212,14 @@ def config_parser():
     add('--pallas_conv', type=str, default='auto',
         choices=['auto', 'on', 'off'],
         help='Fused pallas gather-GEMM sparse conv: auto = on TPU only.')
-    add('--key_conv', type=str, default='eval',
+    add('--key_conv', type=str, default='on',
         choices=['on', 'eval', 'off'],
         help='In-window packed-key-matching pallas conv (sparse/key_conv.py):'
              ' no neighbor maps are built for the conv path. eval = val/test'
-             ' batches only; on = training too (exact custom-VJP backward).')
+             ' batches only; on (default) = training too (exact custom-VJP'
+             ' backward, measured 4x the neighbor-map train step at 119k'
+             ' voxels — DESIGN.md). Non-TPU backends fall back to neighbor'
+             ' maps automatically.')
     add('--key_conv_force', default=False, action='store_true',
         help='Emit key_conv window plans on non-TPU backends too (tests use '
              'the interpret-mode kernel).')

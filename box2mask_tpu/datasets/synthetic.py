@@ -37,7 +37,10 @@ def make_scene(seed=0, num_instances=8, points_per_instance=600,
         nonlocal seg_counter
         n = len(points)
         pos.append(points)
-        col.append(np.clip(color + rng.normal(0, 0.03, (n, 3)), 0, 1))
+        # quantize to the u8 grid like real PLY colors (u8/255 -> float) so
+        # the compact wire codec (engine/hostload.py u8x255) applies exactly
+        c = np.clip(color + rng.normal(0, 0.03, (n, 3)), 0, 1)
+        col.append(np.round(c * 255.0) / 255.0)
         sem.append(np.full(n, sem_id, np.int32))
         inst.append(np.full(n, inst_id, np.int32))
         # spatial oversegmentation: k-means-ish split by random projections

@@ -1,0 +1,178 @@
+"""Single-buffer host->device batch upload (+ compact wire codecs).
+
+The device sits behind a high-RTT tunnel (~30ms per transfer round-trip,
+scripts/profile_infer.py). A batch dict holds ~50 small numpy arrays (key
+pyramids, conv plans, validity masks, supervision), so a naive per-array
+`jax.device_put(dict)` costs ~50 RTTs — measured 1.7s for a 5MB batch,
+dwarfing the tens of ms the same bytes take as ONE array. This module packs
+the batch into a single contiguous uint8 buffer on the host (one memcpy
+pass), ships it in one transfer, and reconstructs every array INSIDE the
+jitted consumer via static slices + bitcasts (zero-copy in XLA, no extra
+dispatches).
+
+wire='compact' additionally shrinks the buffer ~3x with LOSSLESS codecs whose
+bounds are STRUCTURAL (known from the batch layout, not guessed from values):
+
+  * bool arrays        -> bit-packed (8x)
+  * vox_features       -> uint8 + a /255 LUT decode, iff the floats are
+                          exactly u8/255 (true for PLY colors and the
+                          synthetic generator; asserted at pack time)
+  * batch0/batch_ids   -> int8   (values in [-1, B), B <= 127 by layout)
+  * pooling_ids        -> uint16 (values in [0, S_pad], S_pad known from the
+                          signature; applied only when S_pad < 65535)
+  * up_parent{l}       -> uint16 (values in [0, B*pad_{l+1}], known from the
+                          keys{l+1}_b signature; only when it fits)
+
+Every codec round-trips exactly; pack() asserts reconstruction on the lossy-
+looking ones. Decodes are elementwise casts/gathers fused into the consumer.
+
+Layout is fixed by the example batch's (key, shape, dtype) signature —
+exactly the property the padded-bucket batching already guarantees
+(datasets/batching.py) — so one packer serves every batch of a run.
+
+    pack, unpack, nbytes = make_batch_packer(example_dev, wire='compact')
+    buf_np = pack(dev_np)                       # host: one memcpy pass
+    buf = jax.device_put(buf_np)                # ONE transfer
+    batch = unpack(buf)                         # traced: slices + casts
+
+Replaces per-array upload on the hot inference/training paths; the reference
+has no analog (its DataLoader pins+ships torch tensors over PCIe where
+per-tensor latency is negligible, models/dataloader.py:316-332)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_ALIGN = 128
+
+# u8 color decode table: matches the host-side (u8 / 255.).astype(f32) path
+# bit-for-bit (a plain f32 divide on device can differ by 1 ulp)
+_U8_LUT = (np.arange(256, dtype=np.float64) / 255.0).astype(np.float32)
+
+
+def _pick_codec(k, a, example, wire):
+    """Codec for key k given the example batch. Bounds are structural."""
+    if wire != 'compact':
+        return 'raw'
+    if a.dtype == np.bool_:
+        return 'bits'
+    if k == 'vox_features' and a.dtype == np.float32:
+        u8 = np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
+        if np.array_equal(_U8_LUT[u8], a):
+            return 'u8x255'
+        return 'raw'
+    if k in ('batch0', 'batch_ids') and a.dtype.kind == 'i':
+        return 'i8'
+    if k == 'pooling_ids' and a.dtype.kind == 'i':
+        # values <= S_pad == seg axis length (batching.py:246-249)
+        s_pad = np.asarray(example['seg_valid']).shape[0] \
+            if 'seg_valid' in example else None
+        if s_pad is not None and s_pad < 65535:
+            return 'u16'
+        return 'raw'
+    m = re.fullmatch(r'up_parent(\d+)', k)
+    if m and a.dtype.kind == 'i':
+        nxt = f'keys{int(m.group(1)) + 1}_b'
+        if nxt in example:
+            bound = int(np.prod(np.asarray(example[nxt]).shape))
+            if bound < 65535:
+                return 'u16'
+        return 'raw'
+    return 'raw'
+
+
+def _encoded_nbytes(codec, size, itemsize):
+    return {'bits': (size + 7) // 8,
+            'u8x255': size, 'i8': size,
+            'u16': 2 * size, 'i16': 2 * size}.get(codec, size * itemsize)
+
+
+def make_batch_packer(example: dict, wire: str = 'raw'):
+    """Build (pack, unpack, nbytes) for dicts matching `example`'s signature.
+
+    pack:   dict[str, np.ndarray] -> (nbytes,) np.uint8
+    unpack: (nbytes,) jnp.uint8 -> dict[str, jnp.ndarray]  (traceable)
+    wire:   'raw' ships every array verbatim; 'compact' applies the lossless
+            codecs documented in the module docstring (~3x smaller).
+    """
+    # mirror jax.device_put under the default no-x64 config: 64-bit host
+    # arrays are shipped as their 32-bit counterparts
+    _narrow = {np.dtype(np.int64): np.dtype(np.int32),
+               np.dtype(np.uint64): np.dtype(np.uint32),
+               np.dtype(np.float64): np.dtype(np.float32)}
+    spec = []
+    off = 0
+    for k in sorted(example):
+        a = np.asarray(example[k])
+        dt = _narrow.get(a.dtype, a.dtype)
+        codec = _pick_codec(k, np.asarray(a, dtype=dt), example, wire)
+        nb = _encoded_nbytes(codec, a.size, dt.itemsize)
+        spec.append((k, a.shape, dt, off, nb, codec))
+        off += (nb + _ALIGN - 1) // _ALIGN * _ALIGN
+    total = off
+
+    def _encode(k, a, codec):
+        flat = np.ascontiguousarray(a).reshape(-1)
+        if codec == 'raw':
+            return flat.view(np.uint8)
+        if codec == 'bits':
+            return np.packbits(flat, bitorder='little')
+        if codec == 'u8x255':
+            u8 = np.clip(np.round(flat * 255.0), 0, 255).astype(np.uint8)
+            assert np.array_equal(_U8_LUT[u8], flat), (
+                f'{k}: floats are not exactly u8/255 — rebuild the packer '
+                "with wire='raw' (augmented/continuous colors)")
+            return u8
+        small = {'i8': np.int8, 'u16': np.uint16, 'i16': np.int16}[codec]
+        enc = flat.astype(small)
+        assert np.array_equal(enc.astype(flat.dtype), flat), (
+            f'{k}: values exceed the {codec} wire range — structural bound '
+            'violated, file a bug (hostload._pick_codec)')
+        return enc.view(np.uint8)
+
+    def pack(dev):
+        buf = np.zeros(total, np.uint8)
+        for k, shape, dtype, o, nb, codec in spec:
+            a = np.asarray(dev[k], dtype=dtype)
+            assert a.shape == tuple(shape), \
+                f'{k}: shape {a.shape} != packer signature {shape}'
+            buf[o:o + nb] = _encode(k, a, codec)
+        return buf
+
+    def _decode(raw, shape, dtype, codec):
+        size = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        if codec == 'bits':
+            bits = jnp.right_shift(raw[:, None],
+                                   jnp.arange(8, dtype=jnp.uint8)[None, :])
+            return (bits & 1).reshape(-1)[:size].astype(bool).reshape(shape)
+        if codec == 'u8x255':
+            return jnp.asarray(_U8_LUT)[raw.astype(jnp.int32)].reshape(shape)
+        if codec in ('i8', 'u16', 'i16'):
+            small = {'i8': jnp.int8, 'u16': jnp.uint16,
+                     'i16': jnp.int16}[codec]
+            if small == jnp.int8:
+                arr = jax.lax.bitcast_convert_type(raw, small)
+            else:
+                arr = jax.lax.bitcast_convert_type(raw.reshape(-1, 2), small)
+            return arr.astype(jnp.dtype(dtype)).reshape(shape)
+        it = dtype.itemsize
+        if dtype == np.bool_:
+            return (raw != 0).reshape(shape)
+        if it == 1:
+            arr = raw if dtype == np.uint8 else raw.astype(jnp.dtype(dtype))
+            return arr.reshape(shape)
+        return jax.lax.bitcast_convert_type(
+            raw.reshape(-1, it), jnp.dtype(dtype)).reshape(shape)
+
+    def unpack(buf):
+        out = {}
+        for k, shape, dtype, o, nb, codec in spec:
+            raw = jax.lax.slice(buf, (o,), (o + nb,))
+            out[k] = _decode(raw, shape, dtype, codec)
+        return out
+
+    return pack, unpack, total

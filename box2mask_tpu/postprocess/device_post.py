@@ -43,8 +43,9 @@ def _pack_bits(masks):
     """(R, V) bool -> (R, V//8) uint8, little-endian bit order."""
     R, V = masks.shape
     assert V % 8 == 0, (
-        f'mask width {V} not a multiple of 8 — pick a vox_bucket divisible '
-        'by 8 (device mask bit-packing reads back V/8 bytes per row)')
+        f'mask width {V} not a multiple of 8 — pick a vox_bucket/seg_bucket '
+        'divisible by 8 (device mask bit-packing reads back width/8 bytes '
+        'per row)')
     w = jnp.left_shift(jnp.uint8(1),
                        jnp.arange(8, dtype=jnp.uint8)[None, None, :])
     return jnp.sum(masks.reshape(R, V // 8, 8).astype(jnp.uint8) * w,
@@ -143,10 +144,18 @@ def _make_core(cfg, valid_class_ids, is_foreground, max_masks):
 
         # compact kept rows to the front (stable: preserves score-desc order)
         order = jnp.argsort(~keep, stable=True)
+        # a mask IS a set of segments (the heatmap is per-segment; the voxel
+        # mask is its gather through pooling_ids), so the segment-level
+        # bitmap reconstructs the voxel/point mask exactly on the host via
+        # seg2vox — at S_pad/8 bytes per row instead of V/8 (64x smaller
+        # readback at ScanNet scale; decisive when the tunnel is
+        # bandwidth-starved, measured as low as ~12 MB/s D2H)
+        seg_masks = (heatmaps > mask_bin_th)             # (R, S)
         return {'n_keep': jnp.sum(keep).astype(jnp.int32),
                 'conf': rep_scores[order],
                 'label_idx': label_idx[order],
                 'masks': masks_t.T[order],               # (R, V) bool
+                'seg_masks': seg_masks[order],           # (R, S) bool
                 'cluster_cap_hit': cap_hit}
 
     return core
@@ -172,7 +181,8 @@ def make_device_postproc(cfg, valid_class_ids, is_foreground, max_masks=256):
 
 
 def make_fused_infer(cfg, model, valid_class_ids, is_foreground,
-                     max_masks=256, top_k=64):
+                     max_masks=256, top_k=64, packed_example=None,
+                     wire='compact'):
     """One jitted call per batch: coordinate-pyramid build + SelectionNet
     forward + per-scene device post-processing, returning ONE stacked dict.
 
@@ -182,12 +192,32 @@ def make_fused_infer(cfg, model, valid_class_ids, is_foreground,
     back in a single jax.device_get (~top_k * Vs/8 bytes per scene) with no
     further device dispatches — critical behind a high-RTT tunnel. Scenes
     with n_keep > top_k set `topk_overflow`; callers fall back to
-    `fused.post_full` (the unfused full-width postproc) for those."""
+    `fused.post_full` (the unfused full-width postproc) for those.
+
+    `packed_example`: a numpy batch dict fixing the upload signature. When
+    given, `infer` takes a SINGLE uint8 buffer (engine/hostload.py) instead
+    of the batch dict — one H2D transfer per batch instead of ~50 per-array
+    round-trips (measured 1.7s vs ~10ms for a 5MB ScanNet-scale batch over
+    the tunnel); `infer.pack` is the host-side packer. `wire='compact'`
+    (default) applies the lossless wire codecs (engine/hostload.py, ~3x
+    fewer bytes); pass wire='raw' for batches whose colors are not on the
+    u8 grid (e.g. color-augmented TTA batches)."""
     from box2mask_tpu.engine import state as S
     core = _make_core(cfg, valid_class_ids, is_foreground, max_masks)
+    pack = unpack = None
+    if packed_example is not None:
+        from box2mask_tpu.engine.hostload import make_batch_packer
+        pack, unpack, _ = make_batch_packer(packed_example, wire=wire)
+    # With segment pooling (all shipped configs) a mask IS a set of segments
+    # (batching.py lays segments out contiguously per scene), so ship the
+    # segment-level bitmap — S_pad/8 bytes per row instead of Vs/8. Without
+    # pooling, segments == voxels interleaved per scene; keep window packing.
+    use_seg = bool(getattr(cfg, 'do_segment_pooling', True))
 
     @jax.jit
     def infer(params, batch_stats, batch, ths):
+        if unpack is not None:
+            batch = unpack(batch)
         full = S.ensure_maps(batch)
         pred = model.apply({'params': params, 'batch_stats': batch_stats},
                            full, train=False)
@@ -197,7 +227,12 @@ def make_fused_infer(cfg, model, valid_class_ids, is_foreground,
         for b in range(B):
             o = core(pred, full, jnp.int32(b), ths,
                      vox_slice=slice(b * vs, (b + 1) * vs))
-            o['masks_packed'] = _pack_bits(o.pop('masks')[:top_k])
+            if use_seg:
+                o.pop('masks')
+                o['seg_masks_packed'] = _pack_bits(o.pop('seg_masks')[:top_k])
+            else:
+                o.pop('seg_masks')
+                o['masks_packed'] = _pack_bits(o.pop('masks')[:top_k])
             o['conf'] = o['conf'][:top_k]
             o['label_idx'] = o['label_idx'][:top_k]
             o['topk_overflow'] = o['n_keep'] > top_k
@@ -207,6 +242,7 @@ def make_fused_infer(cfg, model, valid_class_ids, is_foreground,
 
     infer.post_full = make_device_postproc(
         cfg, valid_class_ids, is_foreground, max_masks=max_masks)
+    infer.pack = pack
     return infer
 
 
@@ -255,13 +291,21 @@ def stacked_masks_to_results(out_np, dev, host, valid_class_ids, mode='eval',
 
     `out_np` must already be on host (jax.device_get(out)); this function
     performs no device calls unless a scene overflowed top_k, in which case
-    `post_fallback` (fused.post_full) re-runs that scene unfused."""
+    `post_fallback` (fused.post_full) re-runs that scene unfused. With
+    segment pooling, masks arrive as SEGMENT-level bitmaps (S_pad/8 bytes
+    per row) and are projected seg->vox->point here via host
+    seg2vox/vox2point; otherwise they are voxel-window bitmaps."""
     results = {}
     B = len(host['scene'])
+    seg_level = 'seg_masks_packed' in out_np
+    packed_key = 'seg_masks_packed' if seg_level else 'masks_packed'
+    if seg_level:
+        seg_off = np.concatenate(
+            [[0], np.cumsum([len(il) for il in host['input_location']])])
     for si in range(B):
         n = int(out_np['n_keep'][si])
         _warn_cap(host, si, {k: v[si] for k, v in out_np.items()})
-        cap = out_np['masks_packed'].shape[1]
+        cap = out_np[packed_key].shape[1]
         if n > cap:
             if post_fallback is None or pred is None:
                 warnings.warn(
@@ -273,11 +317,27 @@ def stacked_masks_to_results(out_np, dev, host, valid_class_ids, mode='eval',
                 results.update(device_masks_to_results(
                     out, dev, host, valid_class_ids, si, mode=mode))
                 continue
-        n_vox = host['num_voxels'][si]
-        results.update(_scene_result(
-            out_np['conf'][si][:n], out_np['label_idx'][si][:n],
-            out_np['masks_packed'][si][:n], 0, n_vox,
-            host, valid_class_ids, si, mode))
+        if not seg_level:
+            results.update(_scene_result(
+                out_np['conf'][si][:n], out_np['label_idx'][si][:n],
+                out_np['masks_packed'][si][:n], 0, host['num_voxels'][si],
+                host, valid_class_ids, si, mode))
+            continue
+        packed = out_np['seg_masks_packed'][si][:n]
+        segm = np.unpackbits(packed, axis=1, bitorder='little') if n else \
+            np.zeros((0, packed.shape[1] * 8), np.uint8)
+        lo, hi = seg_off[si], seg_off[si + 1]
+        segm = segm[:, lo:hi].astype(bool)               # (n, n_seg_i)
+        s2v = np.asarray(host['seg2vox'][si])            # (n_vox_i,) local
+        masks = segm[:, s2v] if n else np.zeros(
+            (0, len(s2v)), bool)                         # (n, n_vox_i)
+        if mode == 'eval':
+            masks = masks[:, host['vox2point'][si]]
+        name = host['scene'][si]['name']
+        label_id = np.asarray(valid_class_ids)[out_np['label_idx'][si][:n]]
+        results[name] = {'conf': out_np['conf'][si][:n],
+                         'label_id': label_id.astype(np.int32),
+                         'mask': masks}
     return results
 
 

@@ -36,6 +36,17 @@ the 3-D index transpose. ME 1x1 convs store a 2-D (Cin, Cout) matrix ==
 Linear1x1. BatchNorm: weight/bias -> scale/bias params; running_mean/var ->
 batch_stats mean/var.
 
+VALIDATION STATUS of the ME offset order: the x-fastest claim comes from
+MinkowskiEngine's kernel-region generator (its KernelRegion iterates the
+first coordinate in the innermost loop); it has NOT been validated against a
+live ME install or the released checkpoint in this environment (no ME, no
+checkpoint download — the roundtrip test tests/test_ckpt_convert.py proves
+self-consistency only). When the released checkpoint is available, run
+`evaluate.py --config configs/scannet.txt --fixed_seed 10` on the converted
+tree and compare val mAP50 against the paper's Table 1 before trusting the
+conversion; a wrong order permutes every cubic kernel and shows up as a
+large mAP drop, not a subtle one.
+
 Usage:
   python scripts/convert_torch_ckpt.py --config configs/scannet.txt \
       --torch_ckpt checkpoint_101h:54m:35s_366875.1301574707.tar \

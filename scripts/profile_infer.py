@@ -79,58 +79,60 @@ def main():
     disp = t(lambda: tiny(scalar).block_until_ready(), n=16)
     print(f'dispatch+block tiny op: {disp*1e3:.1f} ms')
 
-    # --- fused infer device wall ---
+    # --- fused infer device wall (stacked API) ---
+    from box2mask_tpu.postprocess.device_post import stacked_masks_to_results
     batch, dev, host = dev_batches[0]
+    packed_key = None
 
     def run_infer():
-        _, outs = infer(params, stats, batch, ths)
-        for o in outs:
-            o['masks_packed'].block_until_ready()
-        return outs
+        _, out = infer(params, stats, batch, ths)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+        return out
 
     dt = t(run_infer, n=6)
     print(f'fused infer (dispatch+device, batch={BATCH}): {dt*1e3:.1f} ms '
           f'-> {dt/BATCH*1e3:.1f} ms/scene')
 
     # --- readback path ---
-    _, outs = infer(params, stats, batch, ths)
-    for o in outs:
-        o['masks_packed'].block_until_ready()
+    _, out = infer(params, stats, batch, ths)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    packed_key = ('seg_masks_packed' if 'seg_masks_packed' in out
+                  else 'masks_packed')
+    sz = np.prod(out[packed_key].shape) / 1e6
+    dg = t(lambda: jax.device_get(out), n=6)
+    print(f'stacked device_get (incl {sz:.2f}MB {packed_key}): '
+          f'{dg*1e3:.1f} ms -> {dg/BATCH*1e3:.1f} ms/scene')
 
-    def rb():
-        for si in range(len(host['scene'])):
-            device_masks_to_results(outs[si], dev, host, valid_ids, si,
-                                    mode='eval')
-    dr = t(rb, n=6)
-    print(f'readback+unpack (all scenes of batch): {dr*1e3:.1f} ms '
-          f'-> {dr/BATCH*1e3:.1f} ms/scene')
+    out_np = jax.device_get(out)
 
-    # readback components for scene 0
-    out = outs[0]
-    d1 = t(lambda: jax.device_get((out['n_keep'], out['conf'],
-                                   out['label_idx'])), n=8)
-    print(f'  meta device_get: {d1*1e3:.1f} ms')
-    n = int(jax.device_get(out['n_keep']))
-    nb = 1
-    while nb < max(n, 1):
-        nb *= 2
-    d2 = t(lambda: np.asarray(out['masks_packed'][:nb]), n=8)
-    sz = nb * out['masks_packed'].shape[1] / 1e6
-    print(f'  masks slice [{nb}] device_get ({sz:.2f}MB): {d2*1e3:.1f} ms')
+    def unpack():
+        stacked_masks_to_results(out_np, dev, host, valid_ids, mode='eval')
+    du = t(unpack, n=6)
+    print(f'host unpack (all scenes): {du*1e3:.1f} ms '
+          f'-> {du/BATCH*1e3:.1f} ms/scene')
+
+    # --- h2d of the numpy batch ---
+    dev_np, _ = batches[0]
+    dh = t(lambda: jax.tree_util.tree_map(
+        lambda x: x.block_until_ready(),
+        jax.device_put(dev_np)), n=4)
+    mb_up = sum(np.asarray(v).nbytes for v in dev_np.values()) / 1e6
+    print(f'H2D full batch ({mb_up:.1f}MB): {dh*1e3:.1f} ms')
 
     # --- end-to-end (bench loop, threads overlap readback) ---
     from concurrent.futures import ThreadPoolExecutor
-    pool = ThreadPoolExecutor(max_workers=4)
+    pool = ThreadPoolExecutor(max_workers=2)
+
+    def read_one(o, dv, hs):
+        o_np = jax.device_get(o)
+        return stacked_masks_to_results(o_np, dv, hs, valid_ids, mode='eval')
 
     def e2e(n_batches):
         futures = []
         for b in range(n_batches):
             bt, dv, hs = dev_batches[b % len(dev_batches)]
-            _, os_ = infer(params, stats, bt, ths)
-            for si in range(len(hs['scene'])):
-                futures.append(pool.submit(
-                    device_masks_to_results, os_[si], dv, hs, valid_ids, si,
-                    'eval'))
+            _, o = infer(params, stats, bt, ths)
+            futures.append(pool.submit(read_one, o, dv, hs))
         [f.result() for f in futures]
 
     e2e(2)

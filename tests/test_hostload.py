@@ -1,0 +1,77 @@
+"""Single-buffer batch upload (engine/hostload.py): pack/unpack roundtrip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from box2mask_tpu.engine.hostload import make_batch_packer
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    dev = {
+        'vox_features': rng.normal(size=(64, 6)).astype(np.float32),
+        'keys0_b': rng.integers(0, 1 << 30, size=(2, 32)).astype(np.int32),
+        'valid0': rng.integers(0, 2, size=64).astype(bool),
+        'num0': np.int32(57),
+        'flags': rng.integers(0, 255, size=(5,)).astype(np.uint8),
+        'ids64': rng.integers(0, 1 << 30, size=(7,)).astype(np.int64),
+    }
+    pack, unpack, nbytes = make_batch_packer(dev)
+    buf = pack(dev)
+    assert buf.dtype == np.uint8 and buf.shape == (nbytes,)
+    out = jax.jit(unpack)(jnp.asarray(buf))
+    assert set(out) == set(dev)
+    for k in dev:
+        a = np.asarray(out[k])
+        # device_put parity: 64-bit host arrays ship as 32-bit (no-x64 mode)
+        want = jax.device_get(jax.device_put(dev[k]))
+        assert a.dtype == want.dtype, k
+        np.testing.assert_array_equal(a, want, err_msg=k)
+
+
+def test_compact_wire_roundtrip():
+    """Compact codecs (bits/u8x255/i8/u16) must reconstruct EXACTLY."""
+    rng = np.random.default_rng(1)
+    V, S = 256, 64
+    colors = rng.integers(0, 256, size=(V, 3)).astype(np.float64) / 255.0
+    dev = {
+        'vox_features': colors.astype(np.float32),
+        'valid0': rng.integers(0, 2, size=V).astype(bool),
+        'seg_valid': rng.integers(0, 2, size=S).astype(bool),
+        'batch0': rng.integers(-1, 2, size=V).astype(np.int32),
+        'batch_ids': rng.integers(-1, 2, size=S).astype(np.int32),
+        'pooling_ids': rng.integers(0, S + 1, size=V).astype(np.int32),
+        'keys1_b': rng.integers(0, 1 << 30, size=(1, 128)).astype(np.int32),
+        'up_parent0': rng.integers(0, 128, size=V).astype(np.int32),
+        'num0': np.int32(200),
+    }
+    pack, unpack, nbytes = make_batch_packer(dev, wire='compact')
+    raw_nbytes = make_batch_packer(dev, wire='raw')[2]
+    assert nbytes < raw_nbytes * 0.7, (nbytes, raw_nbytes)
+    out = jax.jit(unpack)(jnp.asarray(pack(dev)))
+    for k in dev:
+        a = np.asarray(out[k])
+        want = jax.device_get(jax.device_put(dev[k]))
+        assert a.dtype == want.dtype, k
+        np.testing.assert_array_equal(a, want, err_msg=k)
+
+
+def test_compact_wire_rejects_non_u8_colors():
+    dev = {'vox_features': np.full((8, 3), 0.123456, np.float32)}
+    pack, _, _ = make_batch_packer(dev, wire='compact')
+    # 0.123456 is off the u8 grid -> codec must have fallen back to raw
+    out_dev = {'vox_features': np.full((8, 3), 0.654321, np.float32)}
+    buf = pack(out_dev)          # raw codec: any floats pack fine
+    assert buf.nbytes >= 8 * 3 * 4
+
+
+def test_pack_rejects_shape_drift():
+    dev = {'a': np.zeros((4, 4), np.float32)}
+    pack, _, _ = make_batch_packer(dev)
+    bad = {'a': np.zeros((4, 5), np.float32)}
+    try:
+        pack(bad)
+        assert False, 'expected shape-signature assert'
+    except AssertionError as e:
+        assert 'signature' in str(e)
