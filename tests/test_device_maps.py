@@ -147,6 +147,7 @@ def test_forward_equivalence_key_conv():
     from box2mask_tpu.engine import state as S
 
     cfg = make_cfg(['--vox_bucket', '256', '--key_conv_force'])
+    cfg_nmap = make_cfg(['--vox_bucket', '256', '--key_conv', 'off'])
     _, sem_id2idx, _, _ = get_tables('scannet')
     rets = []
     for s in (3, 4):
@@ -157,7 +158,7 @@ def test_forward_equivalence_key_conv():
         ret['labels'] = labels
         supervision.build_supervision(ret, labels, scene, cfg, 'scannet')
         rets.append(ret)
-    dev_nmap, _ = build_batch(rets, cfg, sem_id2idx, mode='train',
+    dev_nmap, _ = build_batch(rets, cfg_nmap, sem_id2idx, mode='train',
                               device_maps=True)
     dev_kc, _ = build_batch(rets, cfg, sem_id2idx, mode='val',
                             device_maps=True)
