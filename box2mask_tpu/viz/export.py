@@ -55,29 +55,52 @@ def masks_to_instance_ids(masks, confs):
 def export_scene_visualization(out_dir, scene, labels, result, cfg=None):
     os.makedirs(out_dir, exist_ok=True)
     pos = scene['positions']
+    point_layers = []           # (name, colors, visible) for viewer.html
+    line_layers = []
     if scene.get('colors') is not None:
+        rgb = np.asarray(scene['colors'])
+        if rgb.max() <= 1.0 + 1e-6:
+            rgb = rgb * 255.0
         write_ply_points(os.path.join(out_dir, 'rgb.ply'), pos, scene['colors'])
+        point_layers.append(('Input scene', rgb, True))
     if labels is not None:
+        gt_inst = instance_colors(labels['instances'])
+        gt_sem = semantic_colors(labels['semantics'])
         write_ply_points(os.path.join(out_dir, 'gt_instances.ply'), pos,
-                         instance_colors(labels['instances']))
+                         gt_inst)
         write_ply_points(os.path.join(out_dir, 'gt_semantics.ply'), pos,
-                         semantic_colors(labels['semantics']))
+                         gt_sem)
+        point_layers += [('GT Instances', gt_inst, False),
+                         ('GT Semantics', gt_sem, False)]
+        if 'per_instance_bb_centers' in labels:
+            # GT box line set (reference evaluation.py:610-612 'GT BBs')
+            from box2mask_tpu.viz.wireframe import bbs_lines
+            centers = np.asarray(labels['per_instance_bb_centers'])
+            bounds = np.asarray(labels['per_instance_bb_bounds'])
+            s, e = bbs_lines(centers, bounds)
+            c = np.repeat(semantic_colors(
+                labels['per_instance_semantics']), 12, axis=0)
+            line_layers.append(('GT BBs', s, e, c, False))
     if result is not None:
         inst = masks_to_instance_ids(result['mask'], result['conf'])
         if inst is None or len(inst) != len(pos):
             # no surviving predictions: still write the files (all background)
             # so the visualization set is always complete
             inst = np.zeros(len(pos), np.int64)
+        pred_inst = instance_colors(inst)
         write_ply_points(os.path.join(out_dir, 'pred_instances.ply'), pos,
-                         instance_colors(inst))
+                         pred_inst)
         sem = np.zeros(len(pos), np.int64)
         order = np.argsort(result['conf'])
         for j in order:
             mask = np.asarray(result['mask'][j]) > 0
             if len(mask) == len(pos):
                 sem[mask] = int(result['label_id'][j])
+        pred_sem = semantic_colors(sem)
         write_ply_points(os.path.join(out_dir, 'pred_semantics.ply'), pos,
-                         semantic_colors(sem))
+                         pred_sem)
+        point_layers += [('Pred Instances', pred_inst, False),
+                         ('Pred Semantics', pred_sem, False)]
         if cfg is not None and getattr(cfg, 'mesh_viz', False):
             # Poisson-reconstruction substitute (viz/surface.py): voxel
             # boundary meshes colored by prediction labels (reference
@@ -94,12 +117,23 @@ def export_scene_visualization(out_dir, scene, labels, result, cfg=None):
             bbs = np.asarray(result['bbs'])       # (R, 7) [score, min, max]
             np.save(os.path.join(out_dir, 'bbs.npy'), bbs)
             # predicted-box wireframes (reference utils/util.py:5-43 line sets)
-            from box2mask_tpu.viz.wireframe import write_wireframe_ply
+            from box2mask_tpu.viz.wireframe import write_wireframe_ply, \
+                bbs_lines
             centers = (bbs[:, 1:4] + bbs[:, 4:7]) / 2
             bounds = (bbs[:, 4:7] - bbs[:, 1:4]) / 2
             colors = instance_colors(np.arange(1, len(bbs) + 1))
             write_wireframe_ply(os.path.join(out_dir, 'pred_bbs.ply'),
                                 centers, bounds, colors)
+            s, e = bbs_lines(centers, bounds)
+            line_layers.append(('Pred BBs', s, e,
+                                np.repeat(colors, 12, axis=0), False))
+    if point_layers:
+        # interactive single-file bundle — the pyviz3d-save equivalent
+        # (reference models/evaluation.py:605-615)
+        from box2mask_tpu.viz.html_viewer import write_html_viewer
+        write_html_viewer(os.path.join(out_dir, 'viewer.html'), pos,
+                          point_layers, line_layers,
+                          title=os.path.basename(out_dir) or 'scene')
 
 
 def produce_visualizations(evaluater, dataset, cfg):

@@ -146,8 +146,8 @@ def test_forward_equivalence_key_conv():
     from box2mask_tpu.datasets.tables import get_tables
     from box2mask_tpu.engine import state as S
 
-    cfg = make_cfg(['--vox_bucket', '256', '--key_conv_force'])
-    cfg_nmap = make_cfg(['--vox_bucket', '256', '--key_conv', 'off'])
+    cfg = make_cfg(['--vox_bucket', '128', '--key_conv_force'])
+    cfg_nmap = make_cfg(['--vox_bucket', '128', '--key_conv', 'off'])
     _, sem_id2idx, _, _ = get_tables('scannet')
     rets = []
     for s in (3, 4):

@@ -100,3 +100,51 @@ def test_config_validation_errors():
         get_config(['--network_heads', 'mlp_bb_scores'])
     with pytest.raises(ValueError):
         get_config(['--network_heads', 'mlp_semantics'])
+
+
+def test_html_viewer_bundle(tmp_path):
+    """viewer.html: self-contained interactive bundle (pyviz3d equivalent) —
+    embedded buffers must decode to the layer set the reference saves
+    (models/evaluation.py:605-615)."""
+    import base64
+    import json
+    import re
+    from box2mask_tpu.viz.export import export_scene_visualization
+
+    rng = np.random.default_rng(0)
+    n = 500
+    pos = rng.uniform(0, 4, (n, 3))
+    scene = {'positions': pos, 'colors': rng.uniform(0, 1, (n, 3))}
+    labels = {'instances': rng.integers(0, 4, n),
+              'semantics': rng.integers(0, 20, n),
+              'per_instance_bb_centers': rng.uniform(1, 3, (3, 3)),
+              'per_instance_bb_bounds': rng.uniform(.1, .5, (3, 3)),
+              'per_instance_semantics': np.array([3, 4, 5])}
+    masks = [rng.uniform(size=n) < 0.3 for _ in range(2)]
+    result = {'mask': masks, 'conf': [0.9, 0.5], 'label_id': [3, 7],
+              'bbs': np.hstack([np.array([[.9], [.5]]),
+                                np.tile(pos[:2], (1, 2))])}
+    export_scene_visualization(str(tmp_path), scene, labels, result)
+    html = (tmp_path / 'viewer.html').read_text()
+    m = re.search(r'<script id="scene-data"[^>]*>(.*?)</script>', html,
+                  re.DOTALL)
+    data = json.loads(m.group(1))
+    assert data['n'] == n
+    assert len(base64.b64decode(data['positions'])) == n * 3 * 4
+    names = [p['name'] for p in data['points']]
+    assert names == ['Input scene', 'GT Instances', 'GT Semantics',
+                     'Pred Instances', 'Pred Semantics']
+    for p in data['points']:
+        assert len(base64.b64decode(p['colors'])) == n * 3
+    lnames = [l['name'] for l in data['lines']]
+    assert lnames == ['GT BBs', 'Pred BBs']
+    assert data['lines'][0]['count'] == 3 * 12 * 2
+    # subsampling keeps every layer consistent
+    from box2mask_tpu.viz.html_viewer import write_html_viewer
+    write_html_viewer(str(tmp_path / 'small.html'), pos,
+                      [('a', np.zeros((n, 3)), True)], max_points=100)
+    small = json.loads(re.search(
+        r'<script id="scene-data"[^>]*>(.*?)</script>',
+        (tmp_path / 'small.html').read_text(), re.DOTALL).group(1))
+    assert small['n'] == 100
+    assert len(base64.b64decode(small['points'][0]['colors'])) == 300

@@ -105,7 +105,7 @@ def test_losses_finite_and_decrease(setup):
         return params, new_stats, opt_state, ld
 
     first = None
-    for i in range(8):
+    for i in range(5):
         params, stats, opt_state, ld = step(params, stats, opt_state)
         loss = float(ld['optimization_loss'])
         assert np.isfinite(loss)

@@ -1,5 +1,7 @@
 """Data-parallel shard_map training over the 8-device virtual CPU mesh."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,6 +14,11 @@ from tests.test_model_forward import make_cfg, make_batch
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason='needs multiple devices')
+@pytest.mark.skipif(os.environ.get('B2M_SLOW_TESTS') != '1',
+                    reason='~4 min on the 1-core virtual mesh; a strict '
+                           'subset of test_trainer_multidevice_epoch (and '
+                           'the driver dryrun) — run per round via '
+                           'scripts/run_slow_suite.sh')
 def test_shard_map_train_step_runs_and_syncs():
     cfg = make_cfg(extra=('--vox_bucket', '256', '--seg_bucket', '32'))
     D = 2

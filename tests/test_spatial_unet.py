@@ -9,6 +9,8 @@ downsampling (dataprocessing/arkitscenes.py:351-354); this path keeps every
 voxel.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -89,6 +91,11 @@ def test_spatial_forward_matches_single_device(setup):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.skipif(os.environ.get('B2M_SLOW_TESTS') != '1',
+                    reason='~4 min: full U-Net fwd+bwd under shard_map on '
+                           'the 1-core virtual mesh; forward equality runs '
+                           'in the default suite — run per round via '
+                           'scripts/run_slow_suite.sh')
 def test_spatial_grads_match_single_device(setup):
     """One training step's gradients: psum'd shard contributions (+ the 1/D
     head rescale, see make_spatial_train_step) must equal the single-device
@@ -152,6 +159,11 @@ def test_spatial_grads_match_single_device(setup):
     assert checked > 50
 
 
+@pytest.mark.skipif(os.environ.get('B2M_SLOW_TESTS') != '1',
+                    reason='~4 min: Trainer end-to-end with --spatial_shards '
+                           'on the 1-core virtual mesh — run per round via '
+                           'scripts/run_slow_suite.sh (result recorded in '
+                           'DESIGN.md)')
 def test_huge_scene_trains_sharded(tmp_path):
     """VERDICT #4 'done' criterion: one scene BIGGER than a single device's
     voxel budget trains end-to-end through the Trainer with
