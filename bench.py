@@ -27,8 +27,12 @@ import time
 
 import numpy as np
 
+# BATCH=4 default: one packed upload + one dispatch + one readback per 4
+# scenes amortizes the tunnel round-trip latency that dominates bad-tunnel
+# sessions — measured 2026-08-17 on the SAME degraded tunnel: 0.691
+# scenes/sec at BATCH=1 vs 4.115 at BATCH=4 (6x; DESIGN.md round-3 journal)
 N_SCENES = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 N_POOL = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 TOP_K = 128
 

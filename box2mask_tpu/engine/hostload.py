@@ -91,22 +91,95 @@ def _encoded_nbytes(codec, size, itemsize):
             'u16': 2 * size, 'i16': 2 * size}.get(codec, size * itemsize)
 
 
-def make_batch_packer(example: dict, wire: str = 'raw'):
+def _derivable_keys(example):
+    """Batch arrays that are exact functions of OTHER batch arrays under the
+    device-maps layout (datasets/batching.py _build_batch_small), so they
+    need not ride the wire at all — unpack() recomputes them in-jit:
+
+      * up_parent{l}  = searchsorted(keys{l+1}_b, keys{l}_b & floor_mask)
+                        + scene row offset (no device sort: per-query binary
+                        search over the already-sorted parent keys)
+      * valid0        = keys0_b != SENT_KEY   (level-0 keys are 1:1 voxels)
+      * batch0        = scene index where valid else -1 (window layout)
+      * seg_valid     = arange(S_pad) < num_segments
+
+    ~0.9 MB of a 2.8 MB ScanNet-scale scene. pack() VERIFIES each derivation
+    against the array it was handed, so a layout drift fails loudly on the
+    host instead of corrupting device results."""
+    drop = {}
+    if 'keys0_b' not in example:
+        return drop
+    import re as _re
+    for k in example:
+        m = _re.fullmatch(r'up_parent(\d+)', k)
+        if m and f'keys{int(m.group(1)) + 1}_b' in example:
+            drop[k] = ('up_parent', int(m.group(1)))
+    if 'valid0' in example:
+        drop['valid0'] = ('valid0', 0)
+    if 'batch0' in example:
+        drop['batch0'] = ('batch0', 0)
+    if 'seg_valid' in example and 'num_segments' in example:
+        drop['seg_valid'] = ('seg_valid', 0)
+    return drop
+
+
+def _derive_np(name, how, dev):
+    """Host (numpy) reference of the in-jit derivations — used by pack() to
+    verify the dropped arrays really are redundant for THIS batch."""
+    from box2mask_tpu.sparse.device_maps import SENT_KEY
+    kind, l = how
+    keys0 = np.asarray(dev['keys0_b'])
+    B, Vs = keys0.shape
+    if kind == 'valid0':
+        return (keys0 != SENT_KEY).reshape(-1)
+    if kind == 'batch0':
+        valid = keys0 != SENT_KEY
+        scene = np.broadcast_to(np.arange(B, dtype=np.int32)[:, None],
+                                valid.shape)
+        return np.where(valid, scene, -1).astype(np.int32).reshape(-1)
+    if kind == 'seg_valid':
+        s_pad = np.asarray(dev['seg_valid']).shape[0]
+        return np.arange(s_pad) < int(dev['num_segments'])
+    fine = np.asarray(dev[f'keys{l}_b'])
+    coarse = np.asarray(dev[f'keys{l + 1}_b'])
+    pad1 = coarse.shape[1]
+    m = np.int32((1 << (l + 1)) - 1)
+    mask = ~np.int32((m << 20) | (m << 10) | m)
+    out = np.empty(fine.shape, np.int32)
+    for i in range(fine.shape[0]):
+        pos = np.searchsorted(coarse[i], fine[i] & mask)
+        out[i] = np.where(fine[i] == SENT_KEY, fine.shape[0] * pad1,
+                          pos + i * pad1)
+    return out.reshape(-1)
+
+
+def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False):
     """Build (pack, unpack, nbytes) for dicts matching `example`'s signature.
 
     pack:   dict[str, np.ndarray] -> (nbytes,) np.uint8
     unpack: (nbytes,) jnp.uint8 -> dict[str, jnp.ndarray]  (traceable)
     wire:   'raw' ships every array verbatim; 'compact' applies the lossless
             codecs documented in the module docstring (~3x smaller).
+    derive: additionally drop arrays that are exact functions of other batch
+            arrays and recompute them inside the jit (_derivable_keys) —
+            another ~1.5x on device-maps batches; pack() verifies each
+            derivation on the host per batch.
     """
     # mirror jax.device_put under the default no-x64 config: 64-bit host
     # arrays are shipped as their 32-bit counterparts
     _narrow = {np.dtype(np.int64): np.dtype(np.int32),
                np.dtype(np.uint64): np.dtype(np.uint32),
                np.dtype(np.float64): np.dtype(np.float32)}
+    derived = _derivable_keys(example) if derive else {}
+    dspec = [(k, np.asarray(example[k]).shape,
+              _narrow.get(np.asarray(example[k]).dtype,
+                          np.asarray(example[k]).dtype), derived[k])
+             for k in sorted(derived)]
     spec = []
     off = 0
     for k in sorted(example):
+        if k in derived:
+            continue
         a = np.asarray(example[k])
         dt = _narrow.get(a.dtype, a.dtype)
         codec = _pick_codec(k, np.asarray(a, dtype=dt), example, wire)
@@ -141,6 +214,13 @@ def make_batch_packer(example: dict, wire: str = 'raw'):
             assert a.shape == tuple(shape), \
                 f'{k}: shape {a.shape} != packer signature {shape}'
             buf[o:o + nb] = _encode(k, a, codec)
+        for k, shape, dtype, how in dspec:
+            got = np.asarray(_derive_np(k, how, dev), dtype=dtype)
+            want = np.asarray(dev[k], dtype=dtype).reshape(got.shape)
+            assert np.array_equal(got, want), (
+                f'{k}: host derivation mismatches the batch array — layout '
+                'drift between datasets/batching.py and hostload._derive_np; '
+                "rebuild the packer with derive=False")
         return buf
 
     def _decode(raw, shape, dtype, codec):
@@ -173,6 +253,32 @@ def make_batch_packer(example: dict, wire: str = 'raw'):
         for k, shape, dtype, o, nb, codec in spec:
             raw = jax.lax.slice(buf, (o,), (o + nb,))
             out[k] = _decode(raw, shape, dtype, codec)
+        if dspec:
+            from box2mask_tpu.sparse.device_maps import SENT_KEY
+            keys0 = out['keys0_b']
+            B = keys0.shape[0]
+            valid2d = keys0 != SENT_KEY
+            for k, shape, dtype, (kind, l) in dspec:
+                if kind == 'valid0':
+                    v = valid2d.reshape(-1)
+                elif kind == 'batch0':
+                    scene = jnp.broadcast_to(
+                        jnp.arange(B, dtype=jnp.int32)[:, None], valid2d.shape)
+                    v = jnp.where(valid2d, scene, -1).reshape(-1)
+                elif kind == 'seg_valid':
+                    v = (jnp.arange(shape[0]) <
+                         out['num_segments'].astype(jnp.int32))
+                else:                                   # up_parent{l}
+                    fine = out[f'keys{l}_b']
+                    coarse = out[f'keys{l + 1}_b']
+                    pad1 = coarse.shape[1]
+                    m = np.int32((1 << (l + 1)) - 1)
+                    mask = ~np.int32((m << 20) | (m << 10) | m)
+                    pos = jax.vmap(jnp.searchsorted)(coarse, fine & mask)
+                    offs = jnp.arange(B, dtype=jnp.int32)[:, None] * pad1
+                    v = jnp.where(fine == SENT_KEY, B * pad1,
+                                  pos.astype(jnp.int32) + offs).reshape(-1)
+                out[k] = v.astype(jnp.dtype(dtype)).reshape(shape)
         return out
 
     return pack, unpack, total

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import warnings
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -207,7 +209,8 @@ def make_fused_infer(cfg, model, valid_class_ids, is_foreground,
     pack = unpack = None
     if packed_example is not None:
         from box2mask_tpu.engine.hostload import make_batch_packer
-        pack, unpack, _ = make_batch_packer(packed_example, wire=wire)
+        pack, unpack, _ = make_batch_packer(packed_example, wire=wire,
+                                            derive=os.environ.get('B2M_DERIVE_WIRE', '1') == '1')
     # With segment pooling (all shipped configs) a mask IS a set of segments
     # (batching.py lays segments out contiguously per scene), so ship the
     # segment-level bitmap — S_pad/8 bytes per row instead of Vs/8. Without

@@ -75,3 +75,48 @@ def test_pack_rejects_shape_drift():
         assert False, 'expected shape-signature assert'
     except AssertionError as e:
         assert 'signature' in str(e)
+
+
+def test_derive_mode_matches_full_batch():
+    """derive=True drops up_parent/batch0/valid0/seg_valid from the wire and
+    recomputes them in-jit; on a REAL device-maps batch the reconstruction
+    must equal the originals bit-for-bit (pack also self-verifies on host)."""
+    from box2mask_tpu.config import get_config
+    from box2mask_tpu.datasets import synthetic
+    from box2mask_tpu.datasets.voxelize import voxelize_scene
+    from box2mask_tpu.datasets.batching import build_batch
+    from box2mask_tpu.datasets.tables import get_tables
+
+    cfg = get_config([
+        '--dataset_name', 'synthetic',
+        '--network_heads', 'mlp_offsets', 'mlp_bounds', 'mlp_bb_scores',
+        'mlp_semantics',
+        '--do_segment_pooling', '--bb_supervision', '--smallest_bb_heuristic',
+        '--loss_weight_bb_bounds', '0.5', '--loss_weight_bb_scores', '1',
+        '--loss_weight_semantics', '1', '--voxel_size', '0.05',
+        '--vox_bucket', '128', '--seg_bucket', '16', '--key_conv_force',
+        '--exp_name', 'hostload_derive'])
+    _, sem_id2idx, _, _ = get_tables('scannet')
+    rets = []
+    for s in (3, 4):
+        scene, labels = synthetic.make_scene(seed=s, num_instances=3,
+                                             points_per_instance=120,
+                                             floor_points=500,
+                                             wall_points=300)
+        ret = voxelize_scene(scene, cfg)
+        ret['labels'] = labels
+        rets.append(ret)
+    dev, _ = build_batch(rets, cfg, sem_id2idx, mode='val')
+    assert 'up_parent0' in dev and 'kc3_base0' in dev
+
+    pack_d, unpack_d, n_derive = make_batch_packer(dev, wire='compact',
+                                                   derive=True)
+    n_full = make_batch_packer(dev, wire='compact')[2]
+    assert n_derive < n_full          # the wire actually shrank
+    out = jax.jit(unpack_d)(jnp.asarray(pack_d(dev)))
+    assert set(out) == set(dev)
+    for k in dev:
+        want = jax.device_get(jax.device_put(dev[k]))
+        got = np.asarray(out[k])
+        assert got.dtype == want.dtype, k
+        np.testing.assert_array_equal(got, want, err_msg=k)
