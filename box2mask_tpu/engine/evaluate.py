@@ -85,8 +85,13 @@ class Evaluater:
         loader = dataset.get_loader(shuffle=False, drop_last=False,
                                     batch_size=batch_size)
         entries = []
+        if not hasattr(self, '_uploader'):
+            # ONE packed upload per batch instead of ~50 per-array transfers
+            # (engine/hostload.BatchUploader; no-op off-TPU)
+            from box2mask_tpu.engine.hostload import BatchUploader
+            self._uploader = BatchUploader()
         for dev_np, host in loader:
-            batch = {k: jnp.asarray(v) for k, v in dev_np.items()}
+            batch = self._uploader(dev_np)
             self._ensure_state(batch)
             pred = self._forward(self.state.params, self.state.batch_stats,
                                  batch)

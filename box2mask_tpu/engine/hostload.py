@@ -54,13 +54,15 @@ _ALIGN = 128
 _U8_LUT = (np.arange(256, dtype=np.float64) / 255.0).astype(np.float32)
 
 
-def _pick_codec(k, a, example, wire):
+def _pick_codec(k, a, example, wire, u8_colors=True):
     """Codec for key k given the example batch. Bounds are structural."""
     if wire != 'compact':
         return 'raw'
     if a.dtype == np.bool_:
         return 'bits'
     if k == 'vox_features' and a.dtype == np.float32:
+        if not u8_colors:     # augmented/continuous colors: never on u8 grid
+            return 'raw'
         u8 = np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
         if np.array_equal(_U8_LUT[u8], a):
             return 'u8x255'
@@ -153,7 +155,8 @@ def _derive_np(name, how, dev):
     return out.reshape(-1)
 
 
-def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False):
+def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
+                      u8_colors: bool = True):
     """Build (pack, unpack, nbytes) for dicts matching `example`'s signature.
 
     pack:   dict[str, np.ndarray] -> (nbytes,) np.uint8
@@ -182,7 +185,8 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False):
             continue
         a = np.asarray(example[k])
         dt = _narrow.get(a.dtype, a.dtype)
-        codec = _pick_codec(k, np.asarray(a, dtype=dt), example, wire)
+        codec = _pick_codec(k, np.asarray(a, dtype=dt), example, wire,
+                            u8_colors=u8_colors)
         nb = _encoded_nbytes(codec, a.size, dt.itemsize)
         spec.append((k, a.shape, dt, off, nb, codec))
         off += (nb + _ALIGN - 1) // _ALIGN * _ALIGN
@@ -282,3 +286,62 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False):
         return out
 
     return pack, unpack, total
+
+
+class BatchUploader:
+    """Drop-in replacement for ``{k: jnp.asarray(v) for ...}`` batch uploads.
+
+    Over the tunnel, a per-array upload of a ~50-array batch dict costs ~50
+    round-trips (~1.7 s measured); this uploads ONE packed buffer and runs a
+    tiny jitted unpack ON DEVICE, so the batch dict materializes in HBM with
+    one transfer + one dispatch and feeds any existing jitted consumer
+    (train step, eval forward) unchanged.
+
+    Packers are cached per batch signature (shapes vary across bucket sizes).
+    Augmented color features silently fall back off the u8 codec; any other
+    pack-time verification failure falls back to raw non-derived packing for
+    that signature — correctness never depends on the fast path.
+
+    On non-TPU backends (tests, CPU dev) upload() just device_puts the dict:
+    packing is pure overhead when there is no wire."""
+
+    def __init__(self, wire='compact', derive=True, enable=None):
+        self.wire, self.derive = wire, derive
+        if enable is None:
+            enable = jax.default_backend() == 'tpu'
+        self.enable = enable
+        self._cache = {}
+
+    def _signature(self, dev):
+        return tuple(sorted((k, np.asarray(v).shape, str(np.asarray(v).dtype))
+                            for k, v in dev.items()))
+
+    def _build(self, dev, u8_colors, derive):
+        pack, unpack, _ = make_batch_packer(dev, wire=self.wire,
+                                            derive=derive,
+                                            u8_colors=u8_colors)
+        return pack, jax.jit(unpack)
+
+    def __call__(self, dev):
+        if not self.enable:
+            return {k: jnp.asarray(v) for k, v in dev.items()}
+        sig = self._signature(dev)
+        entry = self._cache.get(sig)
+        if entry is None:
+            entry = self._cache[sig] = [self._build(dev, True, self.derive),
+                                        True, self.derive]
+        while True:
+            (pack, unpack), u8_colors, derive = entry
+            try:
+                buf = pack(dev)
+            except AssertionError:
+                if u8_colors:          # augmented colors left the u8 grid
+                    entry = self._cache[sig] = [
+                        self._build(dev, False, derive), False, derive]
+                    continue
+                if derive:             # derivation verify failed: ship all
+                    entry = self._cache[sig] = [
+                        self._build(dev, False, False), False, False]
+                    continue
+                raise
+            return unpack(jax.device_put(buf))

@@ -12,5 +12,6 @@ B2M_SLOW_TESTS=1 exec python -m pytest -q \
     tests/test_spatial_unet.py::test_spatial_grads_match_single_device \
     tests/test_spatial_unet.py::test_huge_scene_trains_sharded \
     tests/test_parallel.py::test_shard_map_train_step_runs_and_syncs \
+    tests/test_trainer_multidevice.py::test_trainer_multidevice_epoch \
     tests/test_device_maps.py::test_train_step_key_conv_path \
     "$@"

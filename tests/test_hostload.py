@@ -120,3 +120,43 @@ def test_derive_mode_matches_full_batch():
         got = np.asarray(out[k])
         assert got.dtype == want.dtype, k
         np.testing.assert_array_equal(got, want, err_msg=k)
+
+
+def test_batch_uploader_fallbacks():
+    """BatchUploader: exact results on (1) a pristine device-maps batch,
+    (2) augmented colors off the u8 grid (u8x255 fallback), (3) a batch
+    whose derivable array was tampered with (derivation-verify fallback to
+    shipping everything) — correctness never depends on the fast path."""
+    from box2mask_tpu.engine.hostload import BatchUploader
+
+    rng = np.random.default_rng(2)
+    V = 64
+    base = {
+        'keys0_b': np.sort(rng.choice(1 << 20, size=40, replace=False)
+                           ).astype(np.int32),
+        'vox_features': (rng.integers(0, 256, size=(V, 3)) / 255.0
+                         ).astype(np.float32),
+        'num0': np.int32(40),
+    }
+    base['keys0_b'] = np.concatenate(
+        [base['keys0_b'], np.full(V - 40, 1 << 30, np.int32)])[None, :]
+    base['valid0'] = (base['keys0_b'] != (1 << 30)).reshape(-1)
+    base['batch0'] = np.where(base['valid0'], 0, -1).astype(np.int32)
+
+    up = BatchUploader(enable=True)     # force the packed path on CPU
+
+    def check(dev):
+        out = up(dev)
+        for k in dev:
+            want = jax.device_get(jax.device_put(dev[k]))
+            np.testing.assert_array_equal(np.asarray(out[k]), want,
+                                          err_msg=k)
+
+    check(base)                                       # pristine: derive path
+    aug = dict(base)
+    aug['vox_features'] = base['vox_features'] + np.float32(1e-4)  # off-grid
+    check(aug)                                        # u8x255 fallback
+    bad = dict(base)
+    bad['batch0'] = base['batch0'].copy()
+    bad['batch0'][0] = 7                              # derivation now false
+    check(bad)                                        # ship-everything path

@@ -15,6 +15,11 @@ from box2mask_tpu.engine.train import Trainer
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason='needs multiple devices')
+@pytest.mark.skipif(os.environ.get('B2M_SLOW_TESTS') != '1',
+                    reason='~4 min on the 1-core virtual mesh; run per round '
+                           'via scripts/run_slow_suite.sh (the driver '
+                           'dryrun_multichip covers the shard_map DP step on '
+                           'every round)')
 def test_trainer_multidevice_epoch(tmp_path):
     os.environ['BOX2MASK_EXP_ROOT'] = str(tmp_path)
     try:
