@@ -20,8 +20,12 @@ bounds are STRUCTURAL (known from the batch layout, not guessed from values):
   * batch0/batch_ids   -> int8   (values in [-1, B), B <= 127 by layout)
   * pooling_ids        -> uint16 (values in [0, S_pad], S_pad known from the
                           signature; applied only when S_pad < 65535)
-  * up_parent{l}       -> uint16 (values in [0, B*pad_{l+1}], known from the
-                          keys{l+1}_b signature; only when it fits)
+  * up_parent{l}       -> scene-local uint16 ('u16sc'): valid rows hold
+                          pos + scene*pad_{l+1} with pos < pad_{l+1} <= 65536,
+                          so pos fits u16; sentinel rows (== the keys{l}_b
+                          SENT rows, asserted at pack) are re-derived at
+                          decode. Plain uint16 when B*pad_{l+1} < 65535
+                          (host-maps layout batches).
 
 Every codec round-trips exactly; pack() asserts reconstruction on the lossy-
 looking ones. Decodes are elementwise casts/gathers fused into the consumer.
@@ -78,16 +82,30 @@ def _pick_codec(k, a, example, wire, u8_colors=True):
         return 'raw'
     m = re.fullmatch(r'up_parent(\d+)', k)
     if m and a.dtype.kind == 'i':
-        nxt = f'keys{int(m.group(1)) + 1}_b'
+        l = int(m.group(1))
+        nxt = f'keys{l + 1}_b'
         if nxt in example:
-            bound = int(np.prod(np.asarray(example[nxt]).shape))
-            if bound < 65535:
+            B, pad1 = np.asarray(example[nxt]).shape
+            if (f'keys{l}_b' in example and pad1 <= 65536
+                    and a.size == B * np.asarray(example[f'keys{l}_b']).shape[1]):
+                # scene-local position: valid rows hold pos + scene*pad1 with
+                # pos < pad1 <= 65536, so pos fits u16 exactly; the sentinel
+                # (B*pad1, exactly the fine SENT rows) is re-derived from
+                # keys{l}_b at decode. Halves the biggest remaining wire item
+                # (up_parent0 at ScanNet scale) without the ~150 ms/batch
+                # device searchsorted the derive path cost — and flooring is
+                # NOT monotone across field carries, so windowed lookups
+                # cannot replace it (see DESIGN.md round-3 pitfalls).
+                return ('u16sc', int(pad1), int(B), l)
+            if B * pad1 < 65535:
                 return 'u16'
         return 'raw'
     return 'raw'
 
 
 def _encoded_nbytes(codec, size, itemsize):
+    if isinstance(codec, tuple):                 # ('u16sc', pad1, B, l)
+        return 2 * size
     return {'bits': (size + 7) // 8,
             'u8x255': size, 'i8': size,
             'u16': 2 * size, 'i16': 2 * size}.get(codec, size * itemsize)
@@ -98,24 +116,20 @@ def _derivable_keys(example):
     device-maps layout (datasets/batching.py _build_batch_small), so they
     need not ride the wire at all — unpack() recomputes them in-jit:
 
-      * up_parent{l}  = searchsorted(keys{l+1}_b, keys{l}_b & floor_mask)
-                        + scene row offset (no device sort: per-query binary
-                        search over the already-sorted parent keys)
       * valid0        = keys0_b != SENT_KEY   (level-0 keys are 1:1 voxels)
       * batch0        = scene index where valid else -1 (window layout)
       * seg_valid     = arange(S_pad) < num_segments
 
-    ~0.9 MB of a 2.8 MB ScanNet-scale scene. pack() VERIFIES each derivation
-    against the array it was handed, so a layout drift fails loudly on the
-    host instead of corrupting device results."""
+    pack() VERIFIES each derivation against the array it was handed, so a
+    layout drift fails loudly on the host instead of corrupting device
+    results. up_parent{l} is deliberately NOT derived: the device-side
+    searchsorted re-derivation measured ~150-200 ms/batch at ScanNet scale
+    (7 levels of lax.while_loop binary-search rounds), dwarfing the ~0.5
+    MB/scene it saved — it ships as the scene-local u16 codec instead
+    (_pick_codec 'u16sc')."""
     drop = {}
     if 'keys0_b' not in example:
         return drop
-    import re as _re
-    for k in example:
-        m = _re.fullmatch(r'up_parent(\d+)', k)
-        if m and f'keys{int(m.group(1)) + 1}_b' in example:
-            drop[k] = ('up_parent', int(m.group(1)))
     if 'valid0' in example:
         drop['valid0'] = ('valid0', 0)
     if 'batch0' in example:
@@ -142,17 +156,7 @@ def _derive_np(name, how, dev):
     if kind == 'seg_valid':
         s_pad = np.asarray(dev['seg_valid']).shape[0]
         return np.arange(s_pad) < int(dev['num_segments'])
-    fine = np.asarray(dev[f'keys{l}_b'])
-    coarse = np.asarray(dev[f'keys{l + 1}_b'])
-    pad1 = coarse.shape[1]
-    m = np.int32((1 << (l + 1)) - 1)
-    mask = ~np.int32((m << 20) | (m << 10) | m)
-    out = np.empty(fine.shape, np.int32)
-    for i in range(fine.shape[0]):
-        pos = np.searchsorted(coarse[i], fine[i] & mask)
-        out[i] = np.where(fine[i] == SENT_KEY, fine.shape[0] * pad1,
-                          pos + i * pad1)
-    return out.reshape(-1)
+    raise AssertionError(f'unknown derivation {kind}')
 
 
 def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
@@ -192,10 +196,26 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
         off += (nb + _ALIGN - 1) // _ALIGN * _ALIGN
     total = off
 
-    def _encode(k, a, codec):
+    def _encode(k, a, codec, dev=None):
         flat = np.ascontiguousarray(a).reshape(-1)
         if codec == 'raw':
             return flat.view(np.uint8)
+        if isinstance(codec, tuple):             # ('u16sc', pad1, B, l)
+            _, pad1, B, l = codec
+            sent_rows = flat == B * pad1
+            if dev is not None:                  # verify the layout invariant
+                fine = np.asarray(dev[f'keys{l}_b']).reshape(-1)
+                from box2mask_tpu.sparse.device_maps import SENT_KEY
+                assert np.array_equal(sent_rows, fine == SENT_KEY), (
+                    f'{k}: sentinel rows disagree with keys{l}_b SENT rows — '
+                    'batch layout drift (datasets/batching.py); rebuild the '
+                    "packer with wire='raw'")
+            local = flat % pad1
+            assert ((local < 65536).all()
+                    and (sent_rows | (flat < B * pad1)).all()), (
+                f'{k}: values exceed the scene-local u16 range')
+            return np.where(sent_rows, 0, local).astype(np.uint16).view(
+                np.uint8)
         if codec == 'bits':
             return np.packbits(flat, bitorder='little')
         if codec == 'u8x255':
@@ -217,7 +237,7 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
             a = np.asarray(dev[k], dtype=dtype)
             assert a.shape == tuple(shape), \
                 f'{k}: shape {a.shape} != packer signature {shape}'
-            buf[o:o + nb] = _encode(k, a, codec)
+            buf[o:o + nb] = _encode(k, a, codec, dev=dev)
         for k, shape, dtype, how in dspec:
             got = np.asarray(_derive_np(k, how, dev), dtype=dtype)
             want = np.asarray(dev[k], dtype=dtype).reshape(got.shape)
@@ -229,6 +249,13 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
 
     def _decode(raw, shape, dtype, codec):
         size = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        if isinstance(codec, tuple):             # ('u16sc', pad1, B, l)
+            _, pad1, B, l = codec
+            u16 = jax.lax.bitcast_convert_type(raw.reshape(-1, 2), jnp.uint16)
+            scene = jnp.arange(size, dtype=jnp.int32) // (size // B)
+            # sentinel rows re-derived from keys{l}_b in the unpack post-pass
+            return (u16.reshape(-1).astype(jnp.int32)
+                    + scene * pad1).reshape(shape)
         if codec == 'bits':
             bits = jnp.right_shift(raw[:, None],
                                    jnp.arange(8, dtype=jnp.uint8)[None, :])
@@ -257,6 +284,13 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
         for k, shape, dtype, o, nb, codec in spec:
             raw = jax.lax.slice(buf, (o,), (o + nb,))
             out[k] = _decode(raw, shape, dtype, codec)
+        from box2mask_tpu.sparse.device_maps import SENT_KEY as _SENT
+        for k, shape, dtype, o, nb, codec in spec:
+            if isinstance(codec, tuple):         # u16sc sentinel post-pass
+                _, pad1, B, l = codec
+                fine = out[f'keys{l}_b'].reshape(-1)
+                out[k] = jnp.where(fine == _SENT, B * pad1,
+                                   out[k].reshape(-1)).reshape(shape)
         if dspec:
             from box2mask_tpu.sparse.device_maps import SENT_KEY
             keys0 = out['keys0_b']
@@ -272,16 +306,8 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
                 elif kind == 'seg_valid':
                     v = (jnp.arange(shape[0]) <
                          out['num_segments'].astype(jnp.int32))
-                else:                                   # up_parent{l}
-                    fine = out[f'keys{l}_b']
-                    coarse = out[f'keys{l + 1}_b']
-                    pad1 = coarse.shape[1]
-                    m = np.int32((1 << (l + 1)) - 1)
-                    mask = ~np.int32((m << 20) | (m << 10) | m)
-                    pos = jax.vmap(jnp.searchsorted)(coarse, fine & mask)
-                    offs = jnp.arange(B, dtype=jnp.int32)[:, None] * pad1
-                    v = jnp.where(fine == SENT_KEY, B * pad1,
-                                  pos.astype(jnp.int32) + offs).reshape(-1)
+                else:
+                    raise AssertionError(f'unknown derivation {kind}')
                 out[k] = v.astype(jnp.dtype(dtype)).reshape(shape)
         return out
 
