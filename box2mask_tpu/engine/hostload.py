@@ -20,12 +20,24 @@ bounds are STRUCTURAL (known from the batch layout, not guessed from values):
   * batch0/batch_ids   -> int8   (values in [-1, B), B <= 127 by layout)
   * pooling_ids        -> uint16 (values in [0, S_pad], S_pad known from the
                           signature; applied only when S_pad < 65535)
-  * up_parent{l}       -> scene-local uint16 ('u16sc'): valid rows hold
-                          pos + scene*pad_{l+1} with pos < pad_{l+1} <= 65536,
-                          so pos fits u16; sentinel rows (== the keys{l}_b
-                          SENT rows, asserted at pack) are re-derived at
-                          decode. Plain uint16 when B*pad_{l+1} < 65535
-                          (host-maps layout batches).
+  * up_parent{l}       -> scene-local int8 deltas ('d8p'): along each scene's
+                          key-sorted window the parent position moves by tiny
+                          steps (usually 0/+1; occasional bounded backward
+                          jumps at coordinate-field carries — flooring is not
+                          monotone across carries, DESIGN.md round-3), so
+                          pos % pad_{l+1} delta-encodes to i8 with a short
+                          per-row exception list (measured ~150/131072 rows
+                          at ScanNet scale); decode = scatter + cumsum.
+                          Sentinel rows (== the keys{l}_b SENT rows, asserted
+                          at pack) are re-derived at decode. Falls back to
+                          scene-local uint16 ('u16sc') / plain uint16 on
+                          layouts without the window structure.
+  * keys{l}_b          -> uint16 row deltas ('d16k') for the big pyramid
+                          levels (pad >= 8192): rows are sorted, consecutive
+                          packed-key deltas exceed u16 only at x-plane
+                          carries (<= one per occupied x plane, ~300/131072
+                          measured), which ride a per-row (pos, value i32)
+                          exception list; decode = scatter + cumsum.
 
 Every codec round-trips exactly; pack() asserts reconstruction on the lossy-
 looking ones. Decodes are elementwise casts/gathers fused into the consumer.
@@ -86,29 +98,65 @@ def _pick_codec(k, a, example, wire, u8_colors=True):
         nxt = f'keys{l + 1}_b'
         if nxt in example:
             B, pad1 = np.asarray(example[nxt]).shape
-            if (f'keys{l}_b' in example and pad1 <= 65536
+            if (f'keys{l}_b' in example
                     and a.size == B * np.asarray(example[f'keys{l}_b']).shape[1]):
-                # scene-local position: valid rows hold pos + scene*pad1 with
-                # pos < pad1 <= 65536, so pos fits u16 exactly; the sentinel
-                # (B*pad1, exactly the fine SENT rows) is re-derived from
-                # keys{l}_b at decode. Halves the biggest remaining wire item
-                # (up_parent0 at ScanNet scale) without the ~150 ms/batch
-                # device searchsorted the derive path cost — and flooring is
-                # NOT monotone across field carries, so windowed lookups
-                # cannot replace it (see DESIGN.md round-3 pitfalls).
-                return ('u16sc', int(pad1), int(B), l)
+                # window layout: valid rows hold pos + scene*pad1; the
+                # sentinel (B*pad1, exactly the fine SENT rows) is re-derived
+                # from keys{l}_b at decode. Scene-local positions along the
+                # key-sorted window delta-encode to i8 with a short exception
+                # list (i8 doesn't cover the backward jumps at coordinate
+                # carries — flooring is NOT monotone across field carries, so
+                # windowed lookups cannot replace shipping this; DESIGN.md
+                # round-3 pitfalls). 4x smaller than raw, and without the
+                # ~150-200 ms/batch device searchsorted the derive path cost.
+                pad_f = a.size // B
+                return ('d8p', int(pad1), int(B), l, pad_f // 64 + 64)
             if B * pad1 < 65535:
                 return 'u16'
         return 'raw'
+    m = re.fullmatch(r'keys(\d+)_b', k)
+    if (m and a.ndim == 2 and a.dtype.kind == 'i' and a.shape[1] >= 8192):
+        # sorted SENT-padded key rows: u16 deltas + per-row exceptions
+        B, pad = a.shape
+        return ('d16k', int(B), int(pad), pad // 64 + 64)
     return 'raw'
 
 
 def _encoded_nbytes(codec, size, itemsize):
-    if isinstance(codec, tuple):                 # ('u16sc', pad1, B, l)
-        return 2 * size
+    if isinstance(codec, tuple):
+        tag = codec[0]
+        if tag == 'u16sc':                       # ('u16sc', pad1, B, l)
+            return 2 * size
+        if tag == 'd8p':                         # ('d8p', pad1, B, l, E)
+            return size + 8 * codec[2] * codec[4]
+        if tag == 'd16k':                        # ('d16k', B, pad, E)
+            return 2 * size + 8 * codec[1] * codec[3]
+        raise AssertionError(codec)
     return {'bits': (size + 7) // 8,
             'u8x255': size, 'i8': size,
             'u16': 2 * size, 'i16': 2 * size}.get(codec, size * itemsize)
+
+
+def _delta_exceptions(d, small_lo, small_hi, E, key):
+    """Split per-row deltas into an in-range stream + (pos, value) exception
+    list. d: (B, pad) int64 true deltas. Returns (d_small int64 with 0 at
+    exception slots, flat_pos int32 (B*E,), values int32 (B*E,)); unused
+    exception slots get pos = B*pad (out of range -> dropped by the device
+    scatter)."""
+    B, pad = d.shape
+    exc = (d < small_lo) | (d > small_hi)
+    n_exc = exc.sum(axis=1)
+    assert int(n_exc.max()) <= E, (
+        f'{key}: {int(n_exc.max())} delta exceptions exceed the signature '
+        f'cap {E} — degenerate key distribution; rebuild the packer with '
+        "wire='raw'")
+    pos = np.full((B, E), B * pad, np.int32)
+    val = np.zeros((B, E), np.int32)
+    for b in range(B):
+        idx = np.flatnonzero(exc[b])
+        pos[b, :idx.size] = (b * pad + idx).astype(np.int32)
+        val[b, :idx.size] = d[b, idx].astype(np.int32)
+    return np.where(exc, 0, d), pos.reshape(-1), val.reshape(-1)
 
 
 def _derivable_keys(example):
@@ -200,8 +248,19 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
         flat = np.ascontiguousarray(a).reshape(-1)
         if codec == 'raw':
             return flat.view(np.uint8)
-        if isinstance(codec, tuple):             # ('u16sc', pad1, B, l)
-            _, pad1, B, l = codec
+        if isinstance(codec, tuple) and codec[0] == 'd16k':
+            _, B, pad, E = codec
+            v = flat.reshape(B, pad).astype(np.int64)
+            d = np.diff(v, axis=1, prepend=0)    # d[:, 0] == v[:, 0]
+            assert (d >= 0).all(), (
+                f'{k}: rows are not sorted — batch layout drift '
+                "(datasets/batching.py); rebuild the packer with wire='raw'")
+            d_small, pos, val = _delta_exceptions(d, 0, 65535, E, k)
+            return np.concatenate([
+                d_small.astype(np.uint16).reshape(-1).view(np.uint8),
+                pos.view(np.uint8), val.view(np.uint8)])
+        if isinstance(codec, tuple) and codec[0] in ('u16sc', 'd8p'):
+            pad1, B, l = codec[1], codec[2], codec[3]
             sent_rows = flat == B * pad1
             if dev is not None:                  # verify the layout invariant
                 fine = np.asarray(dev[f'keys{l}_b']).reshape(-1)
@@ -210,12 +269,34 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
                     f'{k}: sentinel rows disagree with keys{l}_b SENT rows — '
                     'batch layout drift (datasets/batching.py); rebuild the '
                     "packer with wire='raw'")
-            local = flat % pad1
-            assert ((local < 65536).all()
-                    and (sent_rows | (flat < B * pad1)).all()), (
-                f'{k}: values exceed the scene-local u16 range')
-            return np.where(sent_rows, 0, local).astype(np.uint16).view(
-                np.uint8)
+            assert (sent_rows | ((flat >= 0) & (flat < B * pad1))).all(), (
+                f'{k}: values exceed the scene-local range')
+            if codec[0] == 'u16sc':
+                local = flat % pad1
+                assert (local < 65536).all(), (
+                    f'{k}: values exceed the scene-local u16 range')
+                return np.where(sent_rows, 0, local).astype(np.uint16).view(
+                    np.uint8)
+            E = codec[4]
+            pad_f = flat.size // B
+            u = (flat.astype(np.int64) % pad1).reshape(B, pad_f)
+            sent2 = sent_rows.reshape(B, pad_f)
+            # the SENT padding is a contiguous row tail (keys are sorted,
+            # SENT_KEY is the maximum); carry the last valid value forward so
+            # the tail delta-encodes to zeros (tail values are overwritten
+            # from keys{l}_b at decode anyway)
+            n_valid = (~sent2).sum(axis=1)
+            assert np.array_equal(sent2,
+                                  np.arange(pad_f)[None, :] >= n_valid[:, None]), (
+                f'{k}: SENT rows are not a contiguous row tail — rebuild the '
+                "packer with wire='raw'")
+            for b in range(B):
+                u[b, n_valid[b]:] = u[b, n_valid[b] - 1] if n_valid[b] else 0
+            d = np.diff(u, axis=1, prepend=0)    # d[:, 0] == u[:, 0]
+            d_small, pos, val = _delta_exceptions(d, -128, 127, E, k)
+            return np.concatenate([
+                d_small.astype(np.int8).reshape(-1).view(np.uint8),
+                pos.view(np.uint8), val.view(np.uint8)])
         if codec == 'bits':
             return np.packbits(flat, bitorder='little')
         if codec == 'u8x255':
@@ -249,6 +330,35 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
 
     def _decode(raw, shape, dtype, codec):
         size = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        if isinstance(codec, tuple) and codec[0] == 'd16k':
+            _, B, pad, E = codec
+            nd = 2 * size
+            d = jax.lax.bitcast_convert_type(
+                raw[:nd].reshape(-1, 2), jnp.uint16).reshape(-1).astype(
+                jnp.int32)
+            pos = jax.lax.bitcast_convert_type(
+                raw[nd:nd + 4 * B * E].reshape(-1, 4), jnp.int32).reshape(-1)
+            val = jax.lax.bitcast_convert_type(
+                raw[nd + 4 * B * E:].reshape(-1, 4), jnp.int32).reshape(-1)
+            d = d.at[pos].set(val, mode='drop')
+            return jnp.cumsum(d.reshape(B, pad), axis=1,
+                              dtype=jnp.int32).reshape(shape)
+        if isinstance(codec, tuple) and codec[0] == 'd8p':
+            _, pad1, B, l, E = codec
+            pad_f = size // B
+            d = jax.lax.bitcast_convert_type(
+                raw[:size], jnp.int8).reshape(-1).astype(jnp.int32)
+            pos = jax.lax.bitcast_convert_type(
+                raw[size:size + 4 * B * E].reshape(-1, 4),
+                jnp.int32).reshape(-1)
+            val = jax.lax.bitcast_convert_type(
+                raw[size + 4 * B * E:].reshape(-1, 4), jnp.int32).reshape(-1)
+            d = d.at[pos].set(val, mode='drop')
+            local = jnp.cumsum(d.reshape(B, pad_f), axis=1, dtype=jnp.int32)
+            # sentinel rows re-derived from keys{l}_b in the unpack post-pass
+            return (local
+                    + jnp.arange(B, dtype=jnp.int32)[:, None] * pad1
+                    ).reshape(shape)
         if isinstance(codec, tuple):             # ('u16sc', pad1, B, l)
             _, pad1, B, l = codec
             u16 = jax.lax.bitcast_convert_type(raw.reshape(-1, 2), jnp.uint16)
@@ -286,8 +396,8 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
             out[k] = _decode(raw, shape, dtype, codec)
         from box2mask_tpu.sparse.device_maps import SENT_KEY as _SENT
         for k, shape, dtype, o, nb, codec in spec:
-            if isinstance(codec, tuple):         # u16sc sentinel post-pass
-                _, pad1, B, l = codec
+            if isinstance(codec, tuple) and codec[0] in ('u16sc', 'd8p'):
+                pad1, B, l = codec[1], codec[2], codec[3]   # sentinel re-derive
                 fine = out[f'keys{l}_b'].reshape(-1)
                 out[k] = jnp.where(fine == _SENT, B * pad1,
                                    out[k].reshape(-1)).reshape(shape)

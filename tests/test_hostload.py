@@ -122,6 +122,65 @@ def test_derive_mode_matches_full_batch():
         np.testing.assert_array_equal(got, want, err_msg=k)
 
 
+def test_delta_codecs_roundtrip_with_exceptions():
+    """d16k (sorted key rows) and d8p (scene-local parent positions) must
+    reconstruct exactly THROUGH their exception paths: key deltas beyond u16
+    (x-plane carries) and parent jumps beyond i8 (field-carry backtracks)."""
+    from box2mask_tpu.sparse.device_maps import SENT_KEY
+    rng = np.random.default_rng(3)
+    B, pad, pad1 = 2, 8192, 4096
+    keys = np.zeros((B, pad), np.int64)
+    ups = np.zeros((B, pad), np.int64)
+    for b in range(B):
+        n = 6000 + b * 500
+        # deltas mostly tiny, sprinkled with >u16 jumps (x-carries)
+        d = rng.integers(1, 5, size=n)
+        d[rng.choice(n, size=40, replace=False)] = rng.integers(
+            1 << 17, 1 << 20, size=40)
+        v = np.cumsum(d)
+        assert v[-1] < SENT_KEY
+        keys[b, :n] = v
+        keys[b, n:] = SENT_KEY
+        # parent positions: non-decreasing steps of 0/1 with occasional
+        # backward jumps beyond i8 (carry backtracks), all within [0, pad1)
+        p = np.cumsum(rng.integers(0, 2, size=n)) % (pad1 // 2)
+        p[rng.choice(n, size=30, replace=False)] = rng.integers(
+            0, pad1, size=30)
+        ups[b, :n] = p + b * pad1
+        ups[b, n:] = B * pad1
+    dev = {'keys0_b': keys.astype(np.int32),
+           'keys1_b': np.concatenate(
+               [np.sort(rng.choice(1 << 20, size=100, replace=False)),
+                np.full(pad1 - 100, SENT_KEY)]).astype(np.int32)[None, :].repeat(
+               B, axis=0),
+           'up_parent0': ups.reshape(-1).astype(np.int32)}
+    pack, unpack, nbytes = make_batch_packer(dev, wire='compact')
+    raw_nbytes = make_batch_packer(dev, wire='raw')[2]
+    assert nbytes < raw_nbytes * 0.55, (nbytes, raw_nbytes)
+    out = jax.jit(unpack)(jnp.asarray(pack(dev)))
+    for k in dev:
+        np.testing.assert_array_equal(
+            np.asarray(out[k]), jax.device_get(jax.device_put(dev[k])),
+            err_msg=k)
+
+
+def test_delta_codec_cap_overflow_is_loud():
+    """A batch whose key-delta exception count exceeds the signature cap must
+    fail the pack() assert (BatchUploader then falls back to raw)."""
+    from box2mask_tpu.sparse.device_maps import SENT_KEY
+    B, pad = 1, 8192
+    # every delta is an x-carry-scale jump -> way past the pad//64+64 cap
+    v = np.cumsum(np.full(pad, 1 << 16, np.int64))
+    assert v[-1] < SENT_KEY
+    dev = {'keys0_b': v.astype(np.int32)[None, :]}
+    pack, _, _ = make_batch_packer(dev, wire='compact')
+    try:
+        pack(dev)
+        assert False, 'expected exception-cap assert'
+    except AssertionError as e:
+        assert 'exceptions exceed' in str(e)
+
+
 def test_batch_uploader_fallbacks():
     """BatchUploader: exact results on (1) a pristine device-maps batch,
     (2) augmented colors off the u8 grid (u8x255 fallback), (3) a batch
