@@ -105,7 +105,8 @@ def bench_train(cfg, model, jax, jnp, S):
     dev_b = [jax.device_put(d) for d in dev_np]
     tx = S.make_optimizer(cfg)
     state = S.init_state(cfg, model, tx, dev_b[0])
-    step = S.make_train_step(cfg, model, tx, donate=False)
+    step = S.make_train_step(cfg, model, tx)   # donate=True: the real
+    # trainer path (state buffers reused in-place, no per-step HBM copy)
     lr, one = jnp.float32(1e-3), jnp.float32(1.0)
     for b in dev_b:                                  # warm-up + compile
         state, _ = step(state, b, lr, one, one)
@@ -149,7 +150,7 @@ def main():
         model, jax.device_put(batches[0][0]))
     params, stats = variables['params'], variables['batch_stats']
     ths = jnp.asarray(cfg.eval_ths, jnp.float32)
-    read_pool = ThreadPoolExecutor(max_workers=2)
+    read_pool = ThreadPoolExecutor(max_workers=3)
 
     def read_one(out, dev, host):
         out_np = jax.device_get(out)     # one transfer for the whole batch
@@ -163,21 +164,24 @@ def main():
     # measured), the single compact buffer ships ~1.5MB at wire bandwidth
     packed = [infer.pack(dev) for dev, _ in batches]
 
-    def run(n_batches):
-        # 1-deep software pipeline, single-threaded: dispatch batch b, then
-        # unpack batch b-1 on the host while b computes; the fetch itself
-        # runs in ONE reader thread so the main thread's next device_put is
-        # not blocked behind the ~35ms device_get round-trip
+    def run(n_batches, depth=2):
+        # 2-deep software pipeline: dispatch batch b, then harvest batch
+        # b-2 — upload/dispatch are async (~10ms measured), so the only
+        # blocking op is the harvest, and at depth 2 the fetch + host unpack
+        # of b-2 (~300ms on a degraded tunnel) hides behind TWO batches of
+        # device time instead of racing one (scripts/profile_pipeline.py
+        # breakdown, DESIGN.md round-3)
         results = []
-        pending = None                    # (future, dev, host)
+        pending = []                      # [(future, dev, host), ...]
         for b in range(n_batches):
             dev, host = batches[b % len(batches)]
             buf = jax.device_put(packed[b % len(batches)])  # H2D, one array
             _, out = infer(params, stats, buf, ths)     # async dispatch
-            if pending is not None:
-                results.append(pending[0].result())
-            pending = (read_pool.submit(read_one, out, dev, host), dev, host)
-        results.append(pending[0].result())
+            pending.append((read_pool.submit(read_one, out, dev, host),
+                            dev, host))
+            if len(pending) > depth:
+                results.append(pending.pop(0)[0].result())
+        results.extend(p[0].result() for p in pending)
         assert all(r for r in results)
         return results
 

@@ -90,18 +90,30 @@ class Evaluater:
             # (engine/hostload.BatchUploader; no-op off-TPU)
             from box2mask_tpu.engine.hostload import BatchUploader
             self._uploader = BatchUploader()
+        pending = []          # 2-deep pipeline: harvest batch b-2 while b
+        # computes — upload/dispatch are async, so the only blocking op is
+        # the fetch, and it hides behind two batches of device time
+        # (scripts/profile_pipeline.py breakdown, DESIGN.md round-3)
+
+        def _harvest(pred_dev, keep, host):
+            pred = {k: np.asarray(v) for k, v in pred_dev.items()}
+            entries.append((pred, keep, host))
+            print(f'predicted {[s["name"] for s in host["scene"]]}')
+
         for dev_np, host in loader:
             batch = self._uploader(dev_np)
             self._ensure_state(batch)
-            pred = self._forward(self.state.params, self.state.batch_stats,
-                                 batch)
-            pred = {k: np.asarray(v) for k, v in pred.items()}
+            pred_dev = self._forward(self.state.params,
+                                     self.state.batch_stats, batch)
             keep = {k: dev_np[k] for k in
                     ('num_segments', 'input_location', 'batch_ids', 'batch0',
                      'num0', 'seg_valid', 'valid0', 'pooling_ids')
                     if k in dev_np}
-            entries.append((pred, keep, host))
-            print(f'predicted {[s["name"] for s in host["scene"]]}')
+            pending.append((pred_dev, keep, host))
+            if len(pending) > 2:
+                _harvest(*pending.pop(0))
+        for p in pending:
+            _harvest(*p)
         if cache:
             path = self._predictions_cache_path(batch_size, dataset)
             with open(path, 'wb') as f:

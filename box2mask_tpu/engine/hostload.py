@@ -86,12 +86,12 @@ def _pick_codec(k, a, example, wire, u8_colors=True):
     if k in ('batch0', 'batch_ids') and a.dtype.kind == 'i':
         return 'i8'
     if k == 'pooling_ids' and a.dtype.kind == 'i':
-        # values <= S_pad == seg axis length (batching.py:246-249)
-        s_pad = np.asarray(example['seg_valid']).shape[0] \
-            if 'seg_valid' in example else None
-        if s_pad is not None and s_pad < 65535:
-            return 'u16'
-        return 'raw'
+        # voxels are key-sorted and segments are spatially coherent, so the
+        # voxel->segment stream moves in tiny steps (84% |d|<=1 measured at
+        # ScanNet scale; 7/524288 i8 exceptions): flat i8 deltas + a (pos,
+        # value) exception list, decode = scatter + cumsum. 2x smaller than
+        # the former u16 codec and value-range free.
+        return ('d8f', int(a.size) // 512 + 64)
     m = re.fullmatch(r'up_parent(\d+)', k)
     if m and a.dtype.kind == 'i':
         l = int(m.group(1))
@@ -119,6 +119,17 @@ def _pick_codec(k, a, example, wire, u8_colors=True):
         # sorted SENT-padded key rows: u16 deltas + per-row exceptions
         B, pad = a.shape
         return ('d16k', int(B), int(pad), pad // 64 + 64)
+    if re.fullmatch(r'kc[35d]_cnt\d+', k) and a.dtype.kind == 'i':
+        # key_conv chunk counts: <= ceil(pad/window), single digits in
+        # practice (asserted < 256 at pack)
+        return 'u8'
+    if (re.fullmatch(r'kc[35d]_base\d+', k) and a.ndim == 3
+            and a.dtype.kind == 'i'):
+        # key_conv window starts: monotone along the tile axis per (scene,
+        # group) — consecutive tiles' windows advance by ~tile/density rows
+        # (measured max 4224 at ScanNet l0) -> u16 deltas per (b, g) row
+        B, T, G = a.shape
+        return ('d16b', int(B), int(T), int(G), T // 64 + 8)
     return 'raw'
 
 
@@ -131,9 +142,13 @@ def _encoded_nbytes(codec, size, itemsize):
             return size + 8 * codec[2] * codec[4]
         if tag == 'd16k':                        # ('d16k', B, pad, E)
             return 2 * size + 8 * codec[1] * codec[3]
+        if tag == 'd8f':                         # ('d8f', E)
+            return size + 8 * codec[1]
+        if tag == 'd16b':                        # ('d16b', B, T, G, E)
+            return 2 * size + 8 * codec[1] * codec[3] * codec[4]
         raise AssertionError(codec)
     return {'bits': (size + 7) // 8,
-            'u8x255': size, 'i8': size,
+            'u8x255': size, 'i8': size, 'u8': size,
             'u16': 2 * size, 'i16': 2 * size}.get(codec, size * itemsize)
 
 
@@ -248,6 +263,26 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
         flat = np.ascontiguousarray(a).reshape(-1)
         if codec == 'raw':
             return flat.view(np.uint8)
+        if isinstance(codec, tuple) and codec[0] == 'd8f':
+            E = codec[1]
+            d = np.diff(flat.astype(np.int64), prepend=0)[None, :]
+            d_small, pos, val = _delta_exceptions(d, -128, 127, E, k)
+            return np.concatenate([
+                d_small.astype(np.int8).reshape(-1).view(np.uint8),
+                pos.view(np.uint8), val.view(np.uint8)])
+        if isinstance(codec, tuple) and codec[0] == 'd16b':
+            _, B, T, G, E = codec
+            # deltas along the tile axis per (scene, group) row
+            vt = flat.reshape(B, T, G).astype(np.int64).transpose(0, 2, 1)
+            d = np.diff(vt.reshape(B * G, T), axis=1, prepend=0)
+            assert (d >= 0).all(), (
+                f'{k}: window bases are not monotone along tiles — plan '
+                "layout drift (sparse/key_conv.py _host_bases); rebuild the "
+                "packer with wire='raw'")
+            d_small, pos, val = _delta_exceptions(d, 0, 65535, E, k)
+            return np.concatenate([
+                d_small.astype(np.uint16).reshape(-1).view(np.uint8),
+                pos.view(np.uint8), val.view(np.uint8)])
         if isinstance(codec, tuple) and codec[0] == 'd16k':
             _, B, pad, E = codec
             v = flat.reshape(B, pad).astype(np.int64)
@@ -305,7 +340,8 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
                 f'{k}: floats are not exactly u8/255 — rebuild the packer '
                 "with wire='raw' (augmented/continuous colors)")
             return u8
-        small = {'i8': np.int8, 'u16': np.uint16, 'i16': np.int16}[codec]
+        small = {'i8': np.int8, 'u8': np.uint8, 'u16': np.uint16,
+                 'i16': np.int16}[codec]
         enc = flat.astype(small)
         assert np.array_equal(enc.astype(flat.dtype), flat), (
             f'{k}: values exceed the {codec} wire range — structural bound '
@@ -330,6 +366,33 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
 
     def _decode(raw, shape, dtype, codec):
         size = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        if isinstance(codec, tuple) and codec[0] == 'd8f':
+            E = codec[1]
+            d = jax.lax.bitcast_convert_type(
+                raw[:size], jnp.int8).reshape(-1).astype(jnp.int32)
+            pos = jax.lax.bitcast_convert_type(
+                raw[size:size + 4 * E].reshape(-1, 4), jnp.int32).reshape(-1)
+            val = jax.lax.bitcast_convert_type(
+                raw[size + 4 * E:].reshape(-1, 4), jnp.int32).reshape(-1)
+            d = d.at[pos].set(val, mode='drop')
+            return jnp.cumsum(d, dtype=jnp.int32).astype(
+                jnp.dtype(dtype)).reshape(shape)
+        if isinstance(codec, tuple) and codec[0] == 'd16b':
+            _, B, T, G, E = codec
+            nd = 2 * size
+            d = jax.lax.bitcast_convert_type(
+                raw[:nd].reshape(-1, 2), jnp.uint16).reshape(-1).astype(
+                jnp.int32)
+            pos = jax.lax.bitcast_convert_type(
+                raw[nd:nd + 4 * B * G * E].reshape(-1, 4),
+                jnp.int32).reshape(-1)
+            val = jax.lax.bitcast_convert_type(
+                raw[nd + 4 * B * G * E:].reshape(-1, 4),
+                jnp.int32).reshape(-1)
+            d = d.at[pos].set(val, mode='drop')
+            vt = jnp.cumsum(d.reshape(B * G, T), axis=1, dtype=jnp.int32)
+            return vt.reshape(B, G, T).transpose(0, 2, 1).astype(
+                jnp.dtype(dtype)).reshape(shape)
         if isinstance(codec, tuple) and codec[0] == 'd16k':
             _, B, pad, E = codec
             nd = 2 * size
@@ -372,10 +435,12 @@ def make_batch_packer(example: dict, wire: str = 'raw', derive: bool = False,
             return (bits & 1).reshape(-1)[:size].astype(bool).reshape(shape)
         if codec == 'u8x255':
             return jnp.asarray(_U8_LUT)[raw.astype(jnp.int32)].reshape(shape)
-        if codec in ('i8', 'u16', 'i16'):
-            small = {'i8': jnp.int8, 'u16': jnp.uint16,
+        if codec in ('i8', 'u8', 'u16', 'i16'):
+            small = {'i8': jnp.int8, 'u8': jnp.uint8, 'u16': jnp.uint16,
                      'i16': jnp.int16}[codec]
-            if small == jnp.int8:
+            if small == jnp.uint8:
+                arr = raw
+            elif small == jnp.int8:
                 arr = jax.lax.bitcast_convert_type(raw, small)
             else:
                 arr = jax.lax.bitcast_convert_type(raw.reshape(-1, 2), small)

@@ -332,10 +332,19 @@ def stacked_masks_to_results(out_np, dev, host, valid_class_ids, mode='eval',
         lo, hi = seg_off[si], seg_off[si + 1]
         segm = segm[:, lo:hi].astype(bool)               # (n, n_seg_i)
         s2v = np.asarray(host['seg2vox'][si])            # (n_vox_i,) local
-        masks = segm[:, s2v] if n else np.zeros(
-            (0, len(s2v)), bool)                         # (n, n_vox_i)
         if mode == 'eval':
-            masks = masks[:, host['vox2point'][si]]
+            # one fused seg->point gather instead of seg->vox then
+            # vox->point: the (n, n_points) bool gather dominates host
+            # unpack time (scripts/profile_pipeline.py), so halve it;
+            # the composite index is memoized per scene
+            cache = host.setdefault('_seg2point', {})
+            idx = cache.get(si)
+            if idx is None:
+                idx = cache[si] = s2v[np.asarray(host['vox2point'][si])]
+            masks = segm[:, idx] if n else np.zeros((0, len(idx)), bool)
+        else:
+            masks = segm[:, s2v] if n else np.zeros(
+                (0, len(s2v)), bool)                     # (n, n_vox_i)
         name = host['scene'][si]['name']
         label_id = np.asarray(valid_class_ids)[out_np['label_idx'][si][:n]]
         results[name] = {'conf': out_np['conf'][si][:n],

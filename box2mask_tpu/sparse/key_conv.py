@@ -84,6 +84,25 @@ def group_by_dx(offs):
     return [order[dx] for dx in sorted(order)]
 
 
+def group_offsets(offs, mode='dx'):
+    """Offset grouping -> shared input window per group.
+
+    'dx':   3 groups for 3^3 (window spans the full +-1 y-range, ~350 rows
+            at ScanNet l0 density -> WINDOW 384).
+    'dxdy': 9 groups for 3^3; within a group only dz varies, so the window
+            span is the tile's own key span +-scale (~130 rows -> WINDOW 256).
+            More window DMAs, but every one-hot compare and gather matmul
+            shrinks by W: total VPU+MXU work drops ~1/3.
+    """
+    if mode == 'dx':
+        return group_by_dx(offs)
+    assert mode == 'dxdy', mode
+    order = {}
+    for i, (dx, dy, dz) in enumerate(offs):
+        order.setdefault((int(dx), int(dy)), []).append(i)
+    return [order[k] for k in sorted(order)]
+
+
 def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
             out_ref, win_x, win_k, sem_x, sem_k, *,
             groups, deltas, offs, cin, cout, window, pad, tiles,
@@ -223,10 +242,10 @@ def _host_bases(keys_np, out_keys_np, deltas, groups, window, pad,
 @functools.partial(
     jax.jit,
     static_argnames=('kernel_size', 'stride_child', 'scale', 'guard',
-                     'window', 'tile', 'interpret'))
+                     'window', 'tile', 'group_mode', 'interpret'))
 def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
              kernel_size=3, stride_child=False, scale=1, guard=True,
-             window=WINDOW, tile=TILE, interpret=False):
+             window=WINDOW, tile=TILE, group_mode='dx', interpret=False):
     """out[v] = sum_k x[match(key_out[v] + delta_k * scale)] @ w[k].
 
     x:            (B*pad_in, Cin) features, scene-interleaved, key-sorted
@@ -244,7 +263,7 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
     window = min(window, pad)
     offs = offsets_3d(kernel_size, stride_child=stride_child)
     deltas = [pack_delta(o, scale) for o in offs]
-    groups = group_by_dx(offs)
+    groups = group_offsets(offs, group_mode)
     kdim = len(offs)
     assert w.shape[0] == kdim
     tiles = pad_out // tile

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""A/B: key_conv offset grouping ('dx' vs 'dxdy') x window size, on-chip.
+
+Measures the three hot conv shapes of the bench network at ScanNet-val scale
+(level-0 3^3 96ch, stem 5^3 3->32, level-1 3^3 128ch) under both groupings.
+The 'dxdy' grouping shares a window across only the dz-varying offsets, so
+the window (and with it every one-hot compare and gather matmul) shrinks
+from ~384 to ~256 rows at the cost of 3x more window DMAs.
+
+Usage: python scripts/ab_groups.py [reps]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from box2mask_tpu import runtime
+
+runtime.setup()
+
+import jax                                     # noqa: E402
+import jax.numpy as jnp                        # noqa: E402
+
+from box2mask_tpu.config import get_config     # noqa: E402
+from box2mask_tpu.datasets import synthetic    # noqa: E402
+from box2mask_tpu.datasets.voxelize import voxelize_scene  # noqa: E402
+from box2mask_tpu.sparse import key_conv as KC             # noqa: E402
+from box2mask_tpu.sparse.device_maps import SENT_KEY       # noqa: E402
+
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+
+
+def level_keys(c, l):
+    m = np.int64((1 << l) - 1)
+    mask = ~((m << 20) | (m << 10) | m)
+    keys = ((c[:, 0].astype(np.int64) << 20) | (c[:, 1] << 10)
+            | c[:, 2]).astype(np.int64)
+    lk = np.unique(keys & mask).astype(np.int32)
+    return lk
+
+
+def bench_shape(name, keys, cin, cout, ksize, scale, reps, checked):
+    n = len(keys)
+    pad = ((n + 4095) // 4096) * 4096
+    keys_p = np.full(pad, int(SENT_KEY), np.int32)
+    keys_p[:n] = keys
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(pad, cin)).astype(np.float32)
+    x[n:] = 0
+    kdim = ksize ** 3
+    w = (rng.normal(size=(kdim, cin, cout)) * 0.05).astype(np.float32)
+    offs = KC.offsets_3d(ksize)
+    deltas = [KC.pack_delta(o, scale) for o in offs]
+
+    xj, wj = jnp.asarray(x), jnp.asarray(w)
+    kb = jnp.asarray(keys_p[None])
+    kcol = jnp.asarray(keys_p.reshape(-1, 1))
+    oracle = None
+
+    for mode, win in (('dx', 384), ('dxdy', 256), ('dxdy', 128)):
+        groups = KC.group_offsets(offs, mode)
+        win_eff = min(win, pad)
+        bases, counts = KC._host_bases(keys_p, keys_p, deltas, groups,
+                                       win_eff, pad)
+        frac_multi = float((counts > 1).mean())
+        bj, cj = jnp.asarray(bases[None]), jnp.asarray(counts[None])
+        f = jax.jit(lambda x, kb, kcol, b, c, w, m=mode, we=win_eff: (
+            KC.key_conv(x, kb, kcol, b, c, w, kernel_size=ksize,
+                        scale=scale, group_mode=m, window=we)))
+        out = f(xj, kb, kcol, bj, cj, wj).block_until_ready()
+        if not checked:
+            if oracle is None:
+                oracle = KC.key_conv_reference(
+                    x, keys_p[None], keys_p[None], w, kernel_size=ksize,
+                    scale=scale)
+            d = np.abs(np.asarray(out) - oracle)
+            rel = d.max() / (np.abs(oracle).max() + 1e-6)
+            assert rel < 0.02, (name, mode, win, rel)
+        t0 = time.time()
+        for _ in range(reps):
+            out = f(xj, kb, kcol, bj, cj, wj)
+        out.block_until_ready()
+        dt = (time.time() - t0) / reps
+        print(f'{name:22s} {mode:5s} W={win_eff:4d} G={len(groups):3d} '
+              f'multi-chunk tiles {frac_multi * 100:5.1f}%  '
+              f'{dt * 1e3:7.2f} ms', flush=True)
+
+
+def main():
+    cfg = get_config(['--config', 'configs/synthetic.txt',
+                      '--voxel_size', '0.02'])
+    scene, _ = synthetic.make_scene(
+        seed=0, name='s', num_instances=18, points_per_instance=4000,
+        floor_points=45000, wall_points=35000, segs_per_instance=6)
+    ret = voxelize_scene(scene, cfg)
+    c = ret['vox_coords'].astype(np.int64)
+    k0 = level_keys(c, 0)
+    k1 = level_keys(c, 1)
+    print(f'l0 voxels {len(k0)}  l1 {len(k1)}')
+    checked = os.environ.get('AB_SKIP_CHECK', '') == '1'
+    bench_shape('l0 3^3 96ch', k0, 96, 96, 3, 1, REPS, checked)
+    bench_shape('stem 5^3 3->32', k0, 3, 32, 5, 1, REPS, checked)
+    bench_shape('l1 3^3 128ch', k1, 128, 128, 3, 2, REPS, checked)
+
+
+if __name__ == '__main__':
+    main()

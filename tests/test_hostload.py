@@ -219,3 +219,35 @@ def test_batch_uploader_fallbacks():
     bad['batch0'] = base['batch0'].copy()
     bad['batch0'][0] = 7                              # derivation now false
     check(bad)                                        # ship-everything path
+
+
+def test_plan_and_pooling_codecs_roundtrip():
+    """d8f (voxel->segment stream), u8 (key_conv chunk counts) and d16b
+    (window bases, monotone along tiles per group) must reconstruct exactly,
+    including d8f jumps beyond i8 and d16b jumps beyond u16."""
+    rng = np.random.default_rng(5)
+    V, B, T, G = 4096, 2, 64, 3
+    # segment stream: mostly 0/+1 steps with a few arbitrary jumps
+    pool = np.cumsum(rng.integers(0, 2, size=V)) % 500
+    pool[rng.choice(V, size=17, replace=False)] = rng.integers(
+        0, 60000, size=17)
+    # bases: per (scene, group) monotone along tiles, a few >u16 jumps
+    d = rng.integers(0, 1000, size=(B, T, G)).astype(np.int64)
+    d[:, 17, :] = 1 << 18
+    bases = np.cumsum(d, axis=1).astype(np.int32)
+    cnts = rng.integers(0, 23, size=(B, T, G)).astype(np.int32)
+    dev = {
+        'pooling_ids': pool.astype(np.int32),
+        'seg_valid': np.ones(1000, bool),
+        'kc3_base0': bases,
+        'kc3_cnt0': cnts,
+    }
+    pack, unpack, nbytes = make_batch_packer(dev, wire='compact')
+    raw_nbytes = make_batch_packer(dev, wire='raw')[2]
+    assert nbytes < raw_nbytes * 0.5, (nbytes, raw_nbytes)
+    out = jax.jit(unpack)(jnp.asarray(pack(dev)))
+    for k in dev:
+        a = np.asarray(out[k])
+        want = jax.device_get(jax.device_put(dev[k]))
+        assert a.dtype == want.dtype, k
+        np.testing.assert_array_equal(a, want, err_msg=k)
