@@ -33,7 +33,11 @@ import numpy as np
 # scenes/sec at BATCH=1 vs 4.115 at BATCH=4 (6x; DESIGN.md round-3 journal)
 N_SCENES = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-N_POOL = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+# every TIMED batch is a unique scene set, and warm-up runs on two EXTRA
+# batches: the tunnel's remote executor may memoize repeated
+# (executable, args) executions, so re-timing a batch that already ran
+# (even in warm-up) could measure the cache instead of the machine
+N_POOL = int(sys.argv[3]) if len(sys.argv) > 3 else N_SCENES + 2 * BATCH
 TOP_K = 128
 
 
@@ -164,7 +168,7 @@ def main():
     # measured), the single compact buffer ships ~1.5MB at wire bandwidth
     packed = [infer.pack(dev) for dev, _ in batches]
 
-    def run(n_batches, depth=2):
+    def run(idxs, depth=2):
         # 2-deep software pipeline: dispatch batch b, then harvest batch
         # b-2 — upload/dispatch are async (~10ms measured), so the only
         # blocking op is the harvest, and at depth 2 the fetch + host unpack
@@ -173,9 +177,9 @@ def main():
         # breakdown, DESIGN.md round-3)
         results = []
         pending = []                      # [(future, dev, host), ...]
-        for b in range(n_batches):
-            dev, host = batches[b % len(batches)]
-            buf = jax.device_put(packed[b % len(batches)])  # H2D, one array
+        for i in idxs:
+            dev, host = batches[i % len(batches)]
+            buf = jax.device_put(packed[i % len(batches)])  # H2D, one array
             _, out = infer(params, stats, buf, ths)     # async dispatch
             pending.append((read_pool.submit(read_one, out, dev, host),
                             dev, host))
@@ -185,10 +189,13 @@ def main():
         assert all(r for r in results)
         return results
 
-    run(2)                                           # warm-up + compile
     n_batches = (N_SCENES + BATCH - 1) // BATCH
+    # warm-up + compile on batches the timed window never touches (see
+    # N_POOL note: re-running an already-executed batch could be served
+    # from an execution cache)
+    run(range(n_batches, min(n_batches + 2, len(batches))) or range(2))
     t0 = time.time()
-    run(n_batches)
+    run(range(n_batches))
     elapsed = time.time() - t0
     n_timed = n_batches * BATCH
     scenes_per_sec = n_timed / elapsed
@@ -203,7 +210,8 @@ def main():
         'detail': {
             'n_scenes': n_timed,
             'batch_size': BATCH,
-            'unique_scenes': len(batches) * BATCH,
+            'unique_scenes': min(n_batches, len(batches)) * BATCH,
+            'warmup_on_separate_batches': len(batches) > n_batches,
             'mean_batch_voxels': int(np.mean(
                 [int(d['num0']) for d, _ in batches])),
             'h2d_in_timed_window': True,

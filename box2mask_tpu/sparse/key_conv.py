@@ -110,6 +110,7 @@ def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
     b = pl.program_id(0)
     t = pl.program_id(1)
     flat = b * tiles + t
+    total = pl.num_programs(0) * tiles
     keys_col = keys_col_ref[:, :]                       # (T, 1) int32
 
     if guard:
@@ -118,31 +119,59 @@ def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
         zf = keys_col & (AXIS_MAX - 1)
     valid_row = keys_col < SENT_KEY                     # (T, 1)
 
-    acc = jnp.zeros((tile, cout), jnp.float32)
     G = len(groups)
 
-    def start_dma(g, chunk, defer=False):
+    def dma_pair(flat_idx, g, chunk, slot):
         # logical chunk [su, su+window); DMA start clamped inside the scene's
         # padded block, overlap deduped by the column mask in compute().
         # keys arrive as a single (1, B*pad) row: only the (128-aligned) lane
         # dimension is sliced — a size-1 sublane slice of a (B, pad) array
         # trips Mosaic's (4,128) int32 tiling for B > 1.
-        su = bases_ref[flat * G + g] + chunk * window
+        su = bases_ref[flat_idx * G + g] + chunk * window
         start = pl.multiple_of(jnp.minimum(su, pad - window), 128)
+        bq = flat_idx // tiles
         cpx = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(b * pad + start, window), :], win_x.at[g], sem_x.at[g])
+            x_hbm.at[pl.ds(bq * pad + start, window), :],
+            win_x.at[g, slot], sem_x.at[g, slot])
         cpk = pltpu.make_async_copy(
-            keys_hbm.at[pl.ds(0, 1), pl.ds(b * pad + start, window)],
-            win_k.at[g], sem_k.at[g])
-        if not defer:
-            cpx.start()
-            cpk.start()
-        return su - start, (cpx, cpk)
+            keys_hbm.at[pl.ds(0, 1), pl.ds(bq * pad + start, window)],
+            win_k.at[g, slot], sem_k.at[g, slot])
+        return su - start, cpx, cpk
 
-    def compute(g, shift, acc):
+    def issue(flat_idx, slot):
+        # chunk-0 window DMAs for every non-empty group of tile flat_idx
+        for g in range(G):
+            _, cpx, cpk = dma_pair(flat_idx, g, 0, slot)
+
+            @pl.when(counts_ref[flat_idx * G + g] > 0)
+            def _(cpx=cpx, cpk=cpk):
+                cpx.start()
+                cpk.start()
+
+    # cross-tile double buffering: tile flat's chunk-0 windows were issued
+    # into slot flat%2 by the PREVIOUS grid step (grid steps run in order on
+    # the core), so their DMA latency overlaps that step's compute; this step
+    # issues tile flat+1 into the other slot before computing. The kernel is
+    # DMA-latency bound (DESIGN.md round-3: (dx,dy)-grouping negative
+    # result), so hiding the window fetch is worth the 2x VMEM.
+    # count == 0 (query range holds no input keys — SENT padding tiles and
+    # boundary groups, 50-75% of tiles at levels 2+) skips the group's DMA
+    # and matmuls entirely: the start is pl.when-guarded and the wait+compute
+    # sits in the matching lax.cond, so semaphores stay balanced.
+    slot = flat % 2
+
+    @pl.when(flat == 0)
+    def _first():
+        issue(flat, slot)
+
+    @pl.when(flat + 1 < total)
+    def _next():
+        issue(flat + 1, 1 - slot)
+
+    def compute(g, shift, slot, acc):
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
-        wk = jnp.where(cols >= shift, win_k[g, :, :], -2)    # (1, W)
-        wx = win_x[g, :, :]                                  # (W, Cin) bf16
+        wk = jnp.where(cols >= shift, win_k[g, slot, :, :], -2)    # (1, W)
+        wx = win_x[g, slot, :, :]                                  # (W, Cin)
         for k in groups[g]:                                  # static unroll
             q = keys_col + deltas[k]
             ok = valid_row
@@ -162,44 +191,30 @@ def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
                                 preferred_element_type=jnp.float32)
         return acc
 
-    # chunk 0 of every group is DMA'd upfront so the copies overlap each
-    # other and the compute of earlier groups (the kernel is DMA-latency
-    # bound at ~1 chunk/group in the common case); overflow chunks (rare
-    # wide-span tiles) run blocking in a fori_loop per group.
-    # count == 0 (query range holds no input keys — SENT padding tiles and
-    # boundary groups, 50-75% of tiles at levels 2+) skips the group's DMA
-    # and matmuls entirely: the start is pl.when-guarded and the wait+compute
-    # sits in the matching lax.cond, so semaphores stay balanced.
-    cnts = [counts_ref[flat * G + g] for g in range(G)]
-    firsts = []
+    acc = jnp.zeros((tile, cout), jnp.float32)
     for g in range(G):
-        shift0, (cpx, cpk) = start_dma(g, 0, defer=True)
-        firsts.append((shift0, cpx, cpk))
-
-        @pl.when(cnts[g] > 0)
-        def _(cpx=cpx, cpk=cpk):
-            cpx.start()
-            cpk.start()
-
-    for g in range(G):
-        shift0, cpx, cpk = firsts[g]
+        cnt = counts_ref[flat * G + g]
+        shift0, cpx, cpk = dma_pair(flat, g, 0, slot)
 
         def do_group(acc, g=g, shift0=shift0, cpx=cpx, cpk=cpk):
             cpk.wait()
             cpx.wait()
-            acc = compute(g, shift0, acc)
+            acc = compute(g, shift0, slot, acc)
 
+            # overflow chunks (rare wide-span tiles, ~4% at l0) run blocking
+            # in the CURRENT slot — the next tile's prefetch lives in the
+            # other slot, so no clobber
             def chunk_body(c, acc, g=g):
-                shift, (cpx2, cpk2) = start_dma(g, c, defer=True)
+                shift, cpx2, cpk2 = dma_pair(flat, g, c, slot)
                 cpx2.start()
                 cpk2.start()
                 cpk2.wait()
                 cpx2.wait()
-                return compute(g, shift, acc)
+                return compute(g, shift, slot, acc)
 
-            return jax.lax.fori_loop(1, cnts[g], chunk_body, acc)
+            return jax.lax.fori_loop(1, cnt, chunk_body, acc)
 
-        acc = jax.lax.cond(cnts[g] > 0, do_group, lambda a: a, acc)
+        acc = jax.lax.cond(cnt > 0, do_group, lambda a: a, acc)
     out_ref[:] = acc
 
 
@@ -289,10 +304,10 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
             (tile, cout), lambda b, t, *_: (b * tiles + t, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((G, window, cin), jnp.bfloat16),
-            pltpu.VMEM((G, 1, window), jnp.int32),
-            pltpu.SemaphoreType.DMA((G,)),
-            pltpu.SemaphoreType.DMA((G,)),
+            pltpu.VMEM((G, 2, window, cin), jnp.bfloat16),
+            pltpu.VMEM((G, 2, 1, window), jnp.int32),
+            pltpu.SemaphoreType.DMA((G, 2)),
+            pltpu.SemaphoreType.DMA((G, 2)),
         ],
     )
     out = pl.pallas_call(
@@ -378,10 +393,13 @@ def _dw_kernel(bases_ref, counts_ref, keys_col_ref, g_ref, x_hbm, keys_hbm,
                groups, deltas, offs, cin, cout, window, pad, tiles,
                scale, guard, tile):
     """dw[k] += (onehot_k @ win_x)^T @ g_tile, accumulated over the grid
-    (same windows as the forward; the output block revisits every step)."""
+    (same windows as the forward; the output block revisits every step).
+    Cross-tile double buffering mirrors _kernel: tile flat's chunk-0 windows
+    were prefetched into slot flat%2 by the previous grid step."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     flat = b * tiles + t
+    total = pl.num_programs(0) * tiles
 
     @pl.when((b == 0) & (t == 0))
     def _init():
@@ -396,47 +414,85 @@ def _dw_kernel(bases_ref, counts_ref, keys_col_ref, g_ref, x_hbm, keys_hbm,
     g_tile = g_ref[:, :].astype(jnp.bfloat16)           # (T, Cout)
 
     G = len(groups)
-    for g in range(G):
-        base = bases_ref[flat * G + g]
-        cnt = counts_ref[flat * G + g]
 
-        def chunk_body(c, _):
-            su = base + c * window
-            start = pl.multiple_of(jnp.minimum(su, pad - window), 128)
-            cpx = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(b * pad + start, window), :], win_x, sem_x)
-            cpk = pltpu.make_async_copy(
-                keys_hbm.at[pl.ds(0, 1), pl.ds(b * pad + start, window)],
-                win_k, sem_k)
-            cpx.start()
-            cpk.start()
+    def dma_pair(flat_idx, g, chunk, slot):
+        su = bases_ref[flat_idx * G + g] + chunk * window
+        start = pl.multiple_of(jnp.minimum(su, pad - window), 128)
+        bq = flat_idx // tiles
+        cpx = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(bq * pad + start, window), :],
+            win_x.at[g, slot], sem_x.at[g, slot])
+        cpk = pltpu.make_async_copy(
+            keys_hbm.at[pl.ds(0, 1), pl.ds(bq * pad + start, window)],
+            win_k.at[g, slot], sem_k.at[g, slot])
+        return su - start, cpx, cpk
+
+    def issue(flat_idx, slot):
+        for g in range(G):
+            _, cpx, cpk = dma_pair(flat_idx, g, 0, slot)
+
+            @pl.when(counts_ref[flat_idx * G + g] > 0)
+            def _(cpx=cpx, cpk=cpk):
+                cpx.start()
+                cpk.start()
+
+    slot = flat % 2
+
+    @pl.when(flat == 0)
+    def _first():
+        issue(flat, slot)
+
+    @pl.when(flat + 1 < total)
+    def _next():
+        issue(flat + 1, 1 - slot)
+
+    def accum(g, shift, slot):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+        wk = jnp.where(cols >= shift, win_k[g, slot, :, :], -2)
+        wx = win_x[g, slot, :, :]
+        for k in groups[g]:
+            q = keys_col + deltas[k]
+            ok = valid_row
+            if guard:
+                dx, dy, dz = (v * scale for v in offs[k])
+                if dx != 0:
+                    ok = ok & ((xf + dx >= 0) & (xf + dx < AXIS_MAX))
+                if dy != 0:
+                    ok = ok & ((yf + dy >= 0) & (yf + dy < AXIS_MAX))
+                if dz != 0:
+                    ok = ok & ((zf + dz >= 0) & (zf + dz < AXIS_MAX))
+            qm = jnp.where(ok, q, -1)
+            oh = jnp.where(wk == qm, jnp.float32(1),
+                           jnp.float32(0)).astype(jnp.bfloat16)
+            gath = jnp.dot(oh, wx, preferred_element_type=jnp.float32)
+            dw_ref[k] += jax.lax.dot_general(
+                gath.astype(jnp.bfloat16), g_tile,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    for g in range(G):
+        cnt = counts_ref[flat * G + g]
+        shift0, cpx, cpk = dma_pair(flat, g, 0, slot)
+
+        def do_group(g=g, shift0=shift0, cpx=cpx, cpk=cpk):
             cpk.wait()
             cpx.wait()
-            cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
-            wk = jnp.where(cols >= su - start, win_k[:, :], -2)
-            wx = win_x[:, :]
-            for k in groups[g]:
-                q = keys_col + deltas[k]
-                ok = valid_row
-                if guard:
-                    dx, dy, dz = (v * scale for v in offs[k])
-                    if dx != 0:
-                        ok = ok & ((xf + dx >= 0) & (xf + dx < AXIS_MAX))
-                    if dy != 0:
-                        ok = ok & ((yf + dy >= 0) & (yf + dy < AXIS_MAX))
-                    if dz != 0:
-                        ok = ok & ((zf + dz >= 0) & (zf + dz < AXIS_MAX))
-                qm = jnp.where(ok, q, -1)
-                oh = jnp.where(wk == qm, jnp.float32(1),
-                               jnp.float32(0)).astype(jnp.bfloat16)
-                gath = jnp.dot(oh, wx, preferred_element_type=jnp.float32)
-                dw_ref[k] += jax.lax.dot_general(
-                    gath.astype(jnp.bfloat16), g_tile,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            return 0
+            accum(g, shift0, slot)
 
-        jax.lax.fori_loop(0, cnt, chunk_body, 0)
+            def chunk_body(c, _, g=g):
+                shift, cpx2, cpk2 = dma_pair(flat, g, c, slot)
+                cpx2.start()
+                cpk2.start()
+                cpk2.wait()
+                cpx2.wait()
+                accum(g, shift, slot)
+                return 0
+
+            jax.lax.fori_loop(1, cnt, chunk_body, 0)
+
+        @pl.when(cnt > 0)
+        def _(do_group=do_group):
+            do_group()
 
 
 @functools.partial(
@@ -481,10 +537,10 @@ def key_conv_dw(x, g, keys_in_b, keys_out_col, bases, counts, *,
                                lambda b, t, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((window, cin_p), jnp.bfloat16),
-            pltpu.VMEM((1, window), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((G, 2, window, cin_p), jnp.bfloat16),
+            pltpu.VMEM((G, 2, 1, window), jnp.int32),
+            pltpu.SemaphoreType.DMA((G, 2)),
+            pltpu.SemaphoreType.DMA((G, 2)),
         ],
     )
     dw = pl.pallas_call(

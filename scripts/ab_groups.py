@@ -67,10 +67,16 @@ def bench_shape(name, keys, cin, cout, ksize, scale, reps, checked):
                                        win_eff, pad)
         frac_multi = float((counts > 1).mean())
         bj, cj = jnp.asarray(bases[None]), jnp.asarray(counts[None])
-        f = jax.jit(lambda x, kb, kcol, b, c, w, m=mode, we=win_eff: (
-            KC.key_conv(x, kb, kcol, b, c, w, kernel_size=ksize,
+        # the jitted fn takes a per-rep scalar and perturbs x on device:
+        # every rep's args are UNIQUE, so no execution-memoization layer
+        # (the tunnel caches identical (executable, args) runs — timing
+        # repeated identical calls measures the cache, not the kernel); the
+        # one elementwise add it costs is identical across variants
+        f = jax.jit(lambda x, r, kb, kcol, b, c, w, m=mode, we=win_eff: (
+            KC.key_conv(x + r, kb, kcol, b, c, w, kernel_size=ksize,
                         scale=scale, group_mode=m, window=we)))
-        out = f(xj, kb, kcol, bj, cj, wj).block_until_ready()
+        zero = jnp.float32(0)
+        out = f(xj, zero, kb, kcol, bj, cj, wj).block_until_ready()
         if not checked:
             if oracle is None:
                 oracle = KC.key_conv_reference(
@@ -79,11 +85,20 @@ def bench_shape(name, keys, cin, cout, ksize, scale, reps, checked):
             d = np.abs(np.asarray(out) - oracle)
             rel = d.max() / (np.abs(oracle).max() + 1e-6)
             assert rel < 0.02, (name, mode, win, rel)
-        t0 = time.time()
-        for _ in range(reps):
-            out = f(xj, kb, kcol, bj, cj, wj)
-        out.block_until_ready()
-        dt = (time.time() - t0) / reps
+        # block_until_ready under-measures sub-RTT ops on the tunnel (a
+        # 4096^3 matmul "measures" above hardware peak with it); force the
+        # data with a scalar fetch and difference two rep counts so the RTT
+        # and fetch cost cancel: per-rep device time = (T(N) - T(1))/(N-1)
+        def timed(n, base):
+            t0 = time.time()
+            for r in range(n):
+                out = f(xj, jnp.float32(1e-7 * (base + r)), kb, kcol,
+                        bj, cj, wj)
+            float(jnp.sum(out))            # forces all n in-order execs
+            return time.time() - t0
+        t1 = timed(1, 1)
+        tn = timed(reps + 1, 100)
+        dt = (tn - t1) / reps
         print(f'{name:22s} {mode:5s} W={win_eff:4d} G={len(groups):3d} '
               f'multi-chunk tiles {frac_multi * 100:5.1f}%  '
               f'{dt * 1e3:7.2f} ms', flush=True)
