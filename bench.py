@@ -1,14 +1,16 @@
 #!/usr/bin/env python
 """Benchmark: ScanNet-scale inference throughput (scenes/sec/chip).
 
-Measures the device inference pipeline on realistic ScanNet-val-scale
+Measures THE PRODUCT inference pipeline (engine/infer.FusedInferencePipeline
+— the same object Evaluater.eval drives) on realistic ScanNet-val-scale
 synthetic scenes (~120k voxels @ 2cm). The timed window covers, per batch:
-host->device upload of the numpy batch (H2D is INSIDE the window), one fused
-dispatch (coordinate handling + jitted SelectionNet forward + fully on-device
-vote->mask post-processing for every scene of the batch), and readback of the
-stacked result (one device_get per batch; packed-mask unpacking + vox->point
-projection run in overlapped host threads). Prints ONE JSON line; the
-north-star target is >10 scenes/sec/chip (BASELINE.md).
+compact-wire packing + host->device upload of the numpy batch (both INSIDE
+the window), one fused dispatch (coordinate handling + jitted SelectionNet
+forward + fully on-device vote->mask post-processing for every scene of the
+batch), and readback of the stacked result (one device_get per batch;
+packed-mask unpacking + vox->point projection run in overlapped host
+threads). Prints ONE JSON line; the north-star target is >10 scenes/sec/chip
+(BASELINE.md).
 
 Scene preparation (synthetic generation + voxelization + batch build) happens
 ONCE for a pool of unique scenes before the timed window and is reported
@@ -81,17 +83,23 @@ def build_pool(cfg, n_batches):
     return batches, prep
 
 
-def bench_train(cfg, model, jax, jnp, S):
-    """Training steps/sec at ScanNet scale through the DEFAULT train path
-    (--key_conv on: map-free pallas convs with exact custom VJPs). The
-    reference's headline cost is the 101h training run (README.md:75); this
-    measures the pure device step (batches resident — in production the
-    packed single-buffer upload, ~7ms for 5MB, overlaps steps via prefetch).
+def bench_train(cfg, model, jax, jnp, S, batch_sizes=(1, 8), n_steps=8):
+    """Training throughput at ScanNet scale through the REAL trainer path:
+    per step, one packed compact-wire upload (engine/hostload.BatchUploader —
+    the default train.py H2D path) + the donated key_conv train step. The
+    pack + upload run inside the timed loop and overlap device compute
+    exactly as the loader prefetch does in production.
+
+    bs=8 is the reference's shipped operating point
+    (reference configs/scannet.txt:18); its released checkpoint encodes
+    ~101h54m of training (reference README.md:75) ~= 5.4 scenes/sec
+    effective — the number train_scenes_per_sec_bs8 must beat.
     """
     from box2mask_tpu.datasets import synthetic, supervision
     from box2mask_tpu.datasets.voxelize import voxelize_scene
     from box2mask_tpu.datasets.batching import build_batch
     from box2mask_tpu.datasets.tables import get_tables
+    from box2mask_tpu.engine.hostload import BatchUploader
     _, sem_id2idx, _, _ = get_tables('scannet')
 
     def make_ret(i):
@@ -103,30 +111,34 @@ def bench_train(cfg, model, jax, jnp, S):
         supervision.build_supervision(ret, labels, scene, cfg, 'scannet')
         return ret
 
-    dev_np = [build_batch([make_ret(i)], cfg, sem_id2idx, mode='train')[0]
-              for i in range(2)]
-    key_conv_active = 'kc3_base0' in dev_np[0]
-    dev_b = [jax.device_put(d) for d in dev_np]
+    detail = {}
     tx = S.make_optimizer(cfg)
-    state = S.init_state(cfg, model, tx, dev_b[0])
-    step = S.make_train_step(cfg, model, tx)   # donate=True: the real
-    # trainer path (state buffers reused in-place, no per-step HBM copy)
-    lr, one = jnp.float32(1e-3), jnp.float32(1.0)
-    for b in dev_b:                                  # warm-up + compile
-        state, _ = step(state, b, lr, one, one)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), state.params)
-    n_steps = 10
-    t0 = time.time()
-    for i in range(n_steps):
-        state, ld = step(state, dev_b[i % 2], lr, one, one)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), state.params)
-    dt = time.time() - t0
-    return {
-        'train_steps_per_sec': round(n_steps / dt, 3),
-        'train_scenes_per_sec': round(n_steps * 1 / dt, 3),
-        'train_batch_voxels': int(dev_np[0]['num0']),
-        'train_key_conv_active': bool(key_conv_active),
-    }
+    for bs in batch_sizes:
+        tag = '' if bs == 1 else f'_bs{bs}'
+        rets = [make_ret(i) for i in range(2 * bs)]
+        dev_np = [build_batch(rets[i * bs:(i + 1) * bs], cfg, sem_id2idx,
+                              mode='train')[0] for i in range(2)]
+        uploader = BatchUploader()
+        state = S.init_state(cfg, model, tx, uploader(dev_np[0]))
+        step = S.make_train_step(cfg, model, tx)   # donate=True: the real
+        # trainer path (state buffers reused in-place, no per-step HBM copy)
+        lr, one = jnp.float32(1e-3), jnp.float32(1.0)
+        for d in dev_np:                                 # warm-up + compile
+            state, _ = step(state, uploader(d), lr, one, one)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), state.params)
+        t0 = time.time()
+        for i in range(n_steps):
+            # pack (host) + ONE device_put + unpack dispatch + step dispatch,
+            # all async: the host work of step i overlaps device step i-1
+            state, ld = step(state, uploader(dev_np[i % 2]), lr, one, one)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), state.params)
+        dt = time.time() - t0
+        detail[f'train_steps_per_sec{tag}'] = round(n_steps / dt, 3)
+        detail[f'train_scenes_per_sec{tag}'] = round(n_steps * bs / dt, 3)
+        detail[f'train_batch_voxels{tag}'] = int(dev_np[0]['num0'])
+    detail['train_key_conv_active'] = 'kc3_base0' in dev_np[0]
+    detail['train_upload_in_timed_loop'] = True
+    return detail
 
 
 def main():
@@ -134,72 +146,59 @@ def main():
     runtime.setup()
     import jax
     import jax.numpy as jnp
-    from concurrent.futures import ThreadPoolExecutor
     from box2mask_tpu.engine import state as S
-    from box2mask_tpu.postprocess.device_post import (
-        make_fused_infer, stacked_masks_to_results)
+    from box2mask_tpu.engine.infer import FusedInferencePipeline
+    from box2mask_tpu.nn.flops import estimate_forward_flops
     from box2mask_tpu.datasets.tables import get_tables
 
     cfg = make_cfg()
     valid_ids, _, _, is_fg = get_tables('scannet')
     model = S.build_model(cfg, num_classes=20)
-    # fused pipeline: maps + forward + per-scene postproc in ONE device call;
-    # the whole batch's masks read back in ONE device_get (top_k packed rows
-    # per scene over its own voxel window)
     batches, prep_per_scene = build_pool(cfg, max(1, N_POOL // BATCH))
-    infer = make_fused_infer(cfg, model, valid_ids, is_fg, max_masks=256,
-                             top_k=TOP_K, packed_example=batches[0][0])
+    # THE product inference path: the identical FusedInferencePipeline that
+    # Evaluater.eval drives (engine/infer.py) — packed compact wire, ONE
+    # fused dispatch (maps + forward + per-scene device postproc) + ONE
+    # stacked readback per batch, depth-2 software pipeline. bench measures
+    # the product, not a bench-only loop (round-3 verdict #1).
+    pipe = FusedInferencePipeline(cfg, valid_ids, is_fg, model=model,
+                                  top_k=TOP_K, max_masks=256)
 
     variables = S.init_variables(
         model, jax.device_put(batches[0][0]))
     params, stats = variables['params'], variables['batch_stats']
-    ths = jnp.asarray(cfg.eval_ths, jnp.float32)
-    read_pool = ThreadPoolExecutor(max_workers=3)
 
-    def read_one(out, dev, host):
-        out_np = jax.device_get(out)     # one transfer for the whole batch
-        return stacked_masks_to_results(out_np, dev, host, valid_ids,
-                                        mode='eval')
-
-    # pre-pack each batch dict into ONE contiguous compact-wire buffer; the
-    # pack is a host memcpy the prefetch workers would do in production, but
-    # the UPLOAD (device_put of the buffer) stays inside the timed window —
-    # shipping ~50 arrays individually costs ~50 tunnel round-trips (~1.7s
-    # measured), the single compact buffer ships ~1.5MB at wire bandwidth
-    packed = [infer.pack(dev) for dev, _ in batches]
-
-    def run(idxs, depth=2):
-        # 2-deep software pipeline: dispatch batch b, then harvest batch
-        # b-2 — upload/dispatch are async (~10ms measured), so the only
-        # blocking op is the harvest, and at depth 2 the fetch + host unpack
-        # of b-2 (~300ms on a degraded tunnel) hides behind TWO batches of
-        # device time instead of racing one (scripts/profile_pipeline.py
-        # breakdown, DESIGN.md round-3)
-        results = []
-        pending = []                      # [(future, dev, host), ...]
-        for i in idxs:
-            dev, host = batches[i % len(batches)]
-            buf = jax.device_put(packed[i % len(batches)])  # H2D, one array
-            _, out = infer(params, stats, buf, ths)     # async dispatch
-            pending.append((read_pool.submit(read_one, out, dev, host),
-                            dev, host))
-            if len(pending) > depth:
-                results.append(pending.pop(0)[0].result())
-        results.extend(p[0].result() for p in pending)
-        assert all(r for r in results)
-        return results
+    def run(idx_lo, idx_hi):
+        n = 0
+        for results, *_ in pipe.run(params, stats,
+                                    batches[idx_lo:idx_hi], cfg.eval_ths):
+            assert results
+            n += len(results)
+        return n
 
     n_batches = (N_SCENES + BATCH - 1) // BATCH
     # warm-up + compile on batches the timed window never touches (see
     # N_POOL note: re-running an already-executed batch could be served
     # from an execution cache)
-    run(range(n_batches, min(n_batches + 2, len(batches))) or range(2))
+    run(n_batches, min(n_batches + 2, len(batches))) or run(0, 2)
+    # pack + H2D now both run INSIDE the timed window (pack overlaps async
+    # device compute exactly as the loader prefetch would in production)
     t0 = time.time()
-    run(range(n_batches))
+    run(0, n_batches)
     elapsed = time.time() - t0
     n_timed = n_batches * BATCH
     scenes_per_sec = n_timed / elapsed
 
+    # forward-FLOPs upper bound (all kernel offsets present) over the timed
+    # batches -> approximate pipeline MFU on the v5e (197 TFLOP/s bf16 peak);
+    # postproc/NMS matmuls excluded. Tells compute- vs tunnel-bound apart.
+    from box2mask_tpu.sparse.device_maps import SENT_KEY
+    flops = 0
+    for dev, _ in batches[:n_batches]:
+        ns = [int((np.asarray(dev[f'keys{l}_b']) < SENT_KEY).sum())
+              for l in range(8)]
+        flops += estimate_forward_flops(
+            ns, layers=cfg.layers, num_classes=20, n_heads=4,
+            n_segments=int(dev['num_segments']))
     train_detail = bench_train(cfg, model, jax, jnp, S)
 
     result = {
@@ -215,9 +214,16 @@ def main():
             'mean_batch_voxels': int(np.mean(
                 [int(d['num0']) for d, _ in batches])),
             'h2d_in_timed_window': True,
+            'pack_in_timed_window': True,
+            'pack_s_per_scene': round(pipe.pack_s / max(pipe.n_scenes, 1), 4),
+            'wire_kb_per_scene': round(
+                pipe.wire_bytes / max(pipe.n_scenes, 1) / 1024, 1),
+            'fwd_gflops_per_scene': round(flops / n_timed / 1e9, 1),
+            'approx_pipeline_mfu': round(flops / elapsed / 197e12, 4),
             'host_prep_s_per_scene': round(prep_per_scene, 3),
             'host_cores': os.cpu_count(),
             'top_k_masks': TOP_K,
+            'product_path': 'engine.infer.FusedInferencePipeline',
             'platform': jax.devices()[0].platform,
             **train_detail,
         },

@@ -135,6 +135,11 @@ def config_parser():
     add('--load_unused_head', default=False, action='store_true')
     add('--apple_warmstart', default=False, action='store_true')
     add('--batch_size', type=int, default=4)
+    # inference batch size for the fused TPU pipeline (engine/infer.py): one
+    # packed upload + one dispatch + one stacked readback per B scenes
+    # amortizes the tunnel RTT (measured 6x at B=4, DESIGN.md round-3); AP is
+    # exactly batch-size invariant (per-scene windows inside the jit)
+    add('--eval_batch_size', type=int, default=4)
     add('--num_epochs', type=int, default=1500)
     add('--lr', type=float, default=1e-6)
     add('--optimizer', type=str, default='Adam')
@@ -278,6 +283,14 @@ def get_config(args=None):
     if cfg.singlegpu:
         cfg.multigpu = False
     if cfg.spatial_shards and cfg.spatial_shards > 1:
+        # Deliberately NOT composed into a 2-D scenes x shards mesh (round-3
+        # verdict #9, decision journaled in DESIGN.md "scenes x shards"):
+        # spatial sharding exists for scenes too big for ONE device's memory;
+        # at that size D devices are already fully busy on a single scene, so
+        # a data axis on top multiplies memory pressure for no step-time win,
+        # and gradient semantics would need a second psum tier. When scenes
+        # fit a device, plain --multigpu (DP) is strictly better. Revisit
+        # only if a >1-host pod makes (scenes x shards) meshes meaningful.
         assert not cfg.multigpu, \
             '--spatial_shards and --multigpu are mutually exclusive'
         cfg.batch_size = 1          # one scene, sharded across devices

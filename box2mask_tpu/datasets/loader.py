@@ -243,6 +243,9 @@ class BatchLoader:
             host = {'scene': [rets[0]['scene']],
                     'labels': [rets[0].get('labels')],
                     'num_voxels': [len(rets[0]['vox_coords'])],
+                    'vox2point': [rets[0]['vox2point']],
+                    'seg2vox': [rets[0].get('seg2vox')],
+                    'input_location': [rets[0]['input_location']],
                     'spatial_meta': meta}
             return dev, host
         if self.num_shards == 1:

@@ -29,6 +29,16 @@ from box2mask_tpu.postprocess.detection2mask import detection_to_masks
 from box2mask_tpu.metrics import scannet_ap, detection_ap, box3d, s3dis_metrics
 
 
+def _fused_eval_enabled(cfg):
+    """The fused stacked pipeline (engine/infer.py) is THE product inference
+    path on TPU; B2M_FUSED_EVAL=1/0 forces it on (CPU tests, interpret
+    kernels) / off (A/B against the legacy per-array path)."""
+    forced = os.environ.get('B2M_FUSED_EVAL')
+    if forced is not None:
+        return forced == '1'
+    return jax.default_backend() == 'tpu'
+
+
 class Evaluater:
     def __init__(self, cfg, state=None, model=None, writer=None, epoch=None):
         self.cfg = cfg
@@ -120,6 +130,185 @@ class Evaluater:
                 pickle.dump(entries, f)
         return entries
 
+    # --------------------------------------------------- fused product path
+    def _use_fused(self, dataset):
+        """ScanNet/synthetic/ARKit eval runs the fused stacked pipeline
+        (engine/infer.py) — identical code path to bench.py. S3DIS needs the
+        raw per-vox semantics head (s3dis_eval) and spatial sharding has its
+        own forward, so both keep the entry path."""
+        return (_fused_eval_enabled(self.cfg)
+                and self.cfg.dataset_name in ('scannet', 'synthetic',
+                                              'arkitscenes')
+                and getattr(self.cfg, 'spatial_shards', 0) <= 1)
+
+    def fused_dataset_results(self, dataset, ths=None, cache=True):
+        """Product inference: returns (results, light_entries).
+
+        `results` is the detection_to_masks-compatible dict straight from the
+        stacked device readback; `light_entries` [(None, None, host), ...]
+        carry the per-scene host metadata the eval protocols need (GT
+        derivation, OBB corners). Cached per (batch size, seed, split,
+        thresholds) as the compact stacked readbacks — ~1 MB/scene instead of
+        raw head outputs."""
+        self._ensure_state_from_dataset(dataset)
+        ths = tuple(float(t) for t in
+                    (ths if ths is not None else self.cfg.eval_ths))
+        bs = max(1, int(getattr(self.cfg, 'eval_batch_size', 1) or 1))
+        path = self._predictions_cache_path(bs, dataset)[:-4] \
+            + '_fused_' + '_'.join(str(t) for t in ths) + '.pkl'
+        if cache and os.path.exists(path):
+            print(f'Reusing cached fused readbacks: {path}')
+            with open(path, 'rb') as f:
+                cached = pickle.load(f)
+            from box2mask_tpu.postprocess.device_post import (
+                stacked_masks_to_results)
+            results, entries = {}, []
+            for out_np, host, overflow_results in cached:
+                results.update(stacked_masks_to_results(
+                    out_np, None, host, self.valid_class_ids, mode='eval'))
+                results.update(overflow_results)   # fallback-resolved scenes
+                entries.append((None, None, host))
+            return results, entries
+
+        if not hasattr(self, '_fused_pipe'):
+            from box2mask_tpu.engine.infer import FusedInferencePipeline
+            self._fused_pipe = FusedInferencePipeline(
+                self.cfg, self.valid_class_ids, self.is_foreground,
+                model=self.model, top_k=128)
+        loader = dataset.get_loader(shuffle=False, drop_last=False,
+                                    batch_size=bs)
+        results, entries, to_cache = {}, [], []
+        for batch_results, out_np, dev_np, host in self._fused_pipe.run(
+                self.state.params, self.state.batch_stats, loader, ths):
+            assert 'keys0_b' in dev_np or len(host['scene']) == 1, (
+                'host-maps layout (coords beyond the key packing range) '
+                'supports fused eval only at batch size 1 — set '
+                '--eval_batch_size 1 or a larger --voxel_size')
+            results.update(batch_results)
+            entries.append((None, None, host))
+            print(f'predicted {[s["name"] for s in host["scene"]]}')
+            if cache:
+                overflow = {}
+                if bool(np.asarray(out_np.get('topk_overflow', False)).any()):
+                    # keep the fallback-resolved results for overflow scenes:
+                    # a cache reload cannot re-run the device fallback
+                    for si, s in enumerate(host['scene']):
+                        if bool(out_np['topk_overflow'][si]):
+                            overflow[s['name']] = batch_results[s['name']]
+                to_cache.append((out_np, host, overflow))
+        if cache:
+            with open(path, 'wb') as f:
+                pickle.dump(to_cache, f)
+        return results, entries
+
+    # ------------------------------------------------- sharded (spatial) eval
+    def spatial_dataset_results(self, dataset):
+        """Sharded evaluation: each scene's forward runs spatially sharded
+        over the `space` mesh (parallel/spatial.SpatialSelectionNet — one
+        scene's voxels split into contiguous key slabs with halo-exchanged
+        convs), so scenes too large for one device's vox_bucket still
+        evaluate at FULL resolution. The reference instead downsamples huge
+        scenes for both train and eval
+        (reference dataprocessing/arkitscenes.py:351-354).
+
+        Post-processing consumes the REPLICATED pooled head outputs (one
+        per-segment row set), so it runs unsharded: the vote->mask pipeline
+        is per-segment, and voxel-level mask IoU is permutation-invariant, so
+        the key-sorted voxel order of the spatial batch is fine. Returns
+        (results, light_entries) like fused_dataset_results."""
+        from box2mask_tpu.parallel import spatial as SP
+        from box2mask_tpu.postprocess.device_post import make_device_postproc
+        cfg = self.cfg
+        D = cfg.spatial_shards
+        devs = jax.devices()[:D]
+        assert len(devs) == D, f'--spatial_shards {D} needs that many devices'
+        mesh = jax.sharding.Mesh(np.array(devs), (SP.AXIS,))
+        compute_dtype = {'bfloat16': jnp.bfloat16,
+                         'float32': jnp.float32}[cfg.compute_dtype]
+        model = SP.SpatialSelectionNet(
+            num_classes=len(self.valid_class_ids),
+            heads=tuple(cfg.network_heads), layers=cfg.layers,
+            gather_level=cfg.spatial_gather_level,
+            do_segment_pooling=cfg.do_segment_pooling,
+            max_pool_segments=cfg.max_pool_segments_detection_net,
+            mlp_bounds_relu=cfg.mlp_bounds_relu, compute_dtype=compute_dtype)
+        if not hasattr(self, '_spatial_post'):
+            self._spatial_post = make_device_postproc(
+                cfg, self.valid_class_ids, self.is_foreground)
+        ths = jnp.asarray(cfg.eval_ths, jnp.float32)
+        loader = dataset.get_loader(shuffle=False, drop_last=False,
+                                    batch_size=1)
+        results, entries = {}, []
+        fwd = None
+        for dev_np, host in loader:
+            dev_j = {k: jnp.asarray(v) for k, v in dev_np.items()}
+            if self.state is None or self._needs_restore:
+                self._ensure_state_spatial(mesh, model, dev_np)
+            if self.results_path is None:
+                self.results_path = os.path.join(self.cfg.exp_path, 'results',
+                                                 self.ckpt_name)
+                os.makedirs(self.results_path, exist_ok=True)
+            if fwd is None:
+                fwd = SP.make_spatial_apply(mesh, model, dev_np, train=False)
+            pred = fwd({'params': self.state.params,
+                        'batch_stats': self.state.batch_stats}, dev_j)
+            # pseudo single-scene flat batch over the PERMUTED voxel axis for
+            # the standard per-segment postproc
+            valid0 = dev_j['sp_valid0'].reshape(-1)
+            flat = {
+                'pooling_ids': dev_j['sp_pool'].reshape(-1),
+                'valid0': valid0,
+                'batch0': jnp.where(valid0, 0, -1).astype(jnp.int32),
+                'input_location': dev_j['input_location'],
+                'seg_valid': dev_j['seg_valid'],
+                'batch_ids': dev_j['batch_ids'],
+            }
+            out = self._spatial_post(pred, flat, jnp.int32(0), ths)
+            n = int(out['n_keep'])
+            segm = np.asarray(out['seg_masks'])[:n]     # (n, S_pad) bool
+            # seg-level masks -> per-point masks (original point order):
+            # point's segment = seg2vox[vox2point]
+            seg_of_point = np.asarray(host['seg2vox'][0])[
+                np.asarray(host['vox2point'][0])]
+            name = host['scene'][0]['name']
+            label_id = np.asarray(self.valid_class_ids)[
+                np.asarray(out['label_idx'])[:n]]
+            results[name] = {
+                'conf': np.asarray(out['conf'])[:n],
+                'label_id': label_id.astype(np.int32),
+                'mask': segm[:, seg_of_point] if n else
+                        np.zeros((0, len(seg_of_point)), bool)}
+            entries.append((None, None, host))
+            print(f'predicted {name} (spatial x{D})')
+        return results, entries
+
+    def _ensure_state_spatial(self, mesh, model, sample_dev):
+        from box2mask_tpu.parallel import spatial as SP
+        if self.state is None:
+            variables = SP.make_spatial_init(mesh, model, sample_dev,
+                                             seed=self.cfg.fixed_seed or 0)
+            tx = S.make_optimizer(self.cfg)
+            self.state = S.TrainState(
+                params=variables['params'],
+                batch_stats=variables['batch_stats'],
+                opt_state=tx.init(variables['params']), step=jnp.int32(0))
+        if self._needs_restore:
+            path = ckpt.find_checkpoint(self.cfg.checkpoint_path,
+                                        self.cfg.checkpoint,
+                                        self.cfg.load_ckpt_closest_to)
+            if path is not None and os.path.exists(path):
+                (self.state, _, _, _, self.ckpt_name) = ckpt.load_checkpoint(
+                    path, self.state, strict=not self.cfg.loose_model_loading)
+                print(f'Loaded checkpoint: {self.ckpt_name}')
+            else:
+                print(f'No checkpoint at {self.cfg.checkpoint_path}; '
+                      'evaluating the untrained model')
+            self._needs_restore = False
+        if self.results_path is None:
+            self.results_path = os.path.join(self.cfg.exp_path, 'results',
+                                             self.ckpt_name)
+            os.makedirs(self.results_path, exist_ok=True)
+
     def load_or_predict(self, dataset, batch_size=1):
         self._ensure_state_from_dataset(dataset)
         path = self._predictions_cache_path(batch_size, dataset)
@@ -182,6 +371,20 @@ class Evaluater:
 
     # ------------------------------------------------------------------ eval
     def eval(self, dataset, write_to_tb=None):
+        if (getattr(self.cfg, 'spatial_shards', 0) > 1
+                and self.cfg.dataset_name in ('scannet', 'synthetic')):
+            results, entries = self.spatial_dataset_results(dataset)
+            return self.scannet_eval(results, entries,
+                                     write_to_tb=write_to_tb)
+        if self._use_fused(dataset):
+            # THE product TPU path: identical pipeline to bench.py
+            # (engine/infer.py — one fused dispatch + one stacked readback
+            # per batch; round-3 verdict #1)
+            results, entries = self.fused_dataset_results(dataset)
+            if self.cfg.dataset_name == 'arkitscenes':
+                return self.arkitscenes_eval(results, entries)
+            return self.scannet_eval(results, entries,
+                                     write_to_tb=write_to_tb)
         entries = self.load_or_predict(dataset)
         if self.cfg.dataset_name in ('scannet', 'synthetic'):
             results = self.pred_entries_to_results(entries)
@@ -427,8 +630,11 @@ class Evaluater:
         """ScanNet benchmark format: <scene>.txt lines
         'predicted_masks/<scene>_<j>.txt label conf' + 0/1 mask files
         (reference evaluation.py:617-650)."""
-        entries = self.load_or_predict(dataset)
-        results = self.pred_entries_to_results(entries)
+        if self._use_fused(dataset):
+            results, _ = self.fused_dataset_results(dataset)
+        else:
+            entries = self.load_or_predict(dataset)
+            results = self.pred_entries_to_results(entries)
         out_dir = out_dir or os.path.join(self.results_path, 'submission')
         mask_dir = os.path.join(out_dir, 'predicted_masks')
         os.makedirs(mask_dir, exist_ok=True)

@@ -184,7 +184,7 @@ def make_device_postproc(cfg, valid_class_ids, is_foreground, max_masks=256):
 
 def make_fused_infer(cfg, model, valid_class_ids, is_foreground,
                      max_masks=256, top_k=64, packed_example=None,
-                     wire='compact'):
+                     wire='compact', u8_colors=True):
     """One jitted call per batch: coordinate-pyramid build + SelectionNet
     forward + per-scene device post-processing, returning ONE stacked dict.
 
@@ -209,8 +209,9 @@ def make_fused_infer(cfg, model, valid_class_ids, is_foreground,
     pack = unpack = None
     if packed_example is not None:
         from box2mask_tpu.engine.hostload import make_batch_packer
-        pack, unpack, _ = make_batch_packer(packed_example, wire=wire,
-                                            derive=os.environ.get('B2M_DERIVE_WIRE', '1') == '1')
+        pack, unpack, _ = make_batch_packer(
+            packed_example, wire=wire, u8_colors=u8_colors,
+            derive=os.environ.get('B2M_DERIVE_WIRE', '1') == '1')
     # With segment pooling (all shipped configs) a mask IS a set of segments
     # (batching.py lays segments out contiguously per scene), so ship the
     # segment-level bitmap — S_pad/8 bytes per row instead of Vs/8. Without
@@ -246,6 +247,10 @@ def make_fused_infer(cfg, model, valid_class_ids, is_foreground,
     infer.post_full = make_device_postproc(
         cfg, valid_class_ids, is_foreground, max_masks=max_masks)
     infer.pack = pack
+    if unpack is not None:
+        # full batch re-materialization for the rare top_k-overflow fallback
+        # (engine/infer._LazyUnpack): one extra dispatch, never on the hot path
+        infer.unpack_full = jax.jit(lambda buf: S.ensure_maps(unpack(buf)))
     return infer
 
 
@@ -316,6 +321,8 @@ def stacked_masks_to_results(out_np, dev, host, valid_class_ids, mode='eval',
                     f'only {cap} packed rows shipped; result truncated')
                 n = cap
             else:
+                if not isinstance(dev_j, dict):    # engine/infer._LazyUnpack
+                    dev_j = dict(dev_j)
                 out = post_fallback(pred, dev_j, np.int32(si), ths)
                 results.update(device_masks_to_results(
                     out, dev, host, valid_class_ids, si, mode=mode))

@@ -93,12 +93,27 @@ def main(argv=None):
     ap.add_argument('--epochs', type=int, default=75)
     ap.add_argument('--threshold', type=float, default=0.5)
     ap.add_argument('--dataset_size', type=int, default=32)
+    ap.add_argument('--out', default=None,
+                    help='also write the JSON (+ git SHA) to this file — the '
+                         'per-round committed artifact QUALITY_r{N}.json')
     a = ap.parse_args(argv)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     map50 = run_gate(a.epochs, a.threshold, dataset_size=a.dataset_size)
     ok = map50 == map50 and map50 >= a.threshold
-    print(json.dumps({'metric': 'synthetic_overfit_map50', 'map50': map50,
-                      'threshold': a.threshold, 'pass': bool(ok),
-                      'epochs': a.epochs}))
+    rec = {'metric': 'synthetic_overfit_map50', 'map50': map50,
+           'threshold': a.threshold, 'pass': bool(ok), 'epochs': a.epochs}
+    if a.out:
+        import subprocess
+        import time as _time
+        rec['git_sha'] = subprocess.run(
+            ['git', 'rev-parse', 'HEAD'], cwd=repo, capture_output=True,
+            text=True).stdout.strip()
+        rec['recorded'] = _time.strftime('%Y-%m-%d %H:%M:%S')
+        out = a.out if os.path.isabs(a.out) else os.path.join(repo, a.out)
+        with open(out, 'w') as f:
+            json.dump(rec, f, indent=1)
+            f.write('\n')
+    print(json.dumps(rec))
     return 0 if ok else 1
 
 

@@ -45,3 +45,23 @@ def test_predict_specific_scene_visualizations(exp_root):
     eval_cli.main(list(ARGS) + ['--predict_specific_scene', 'synth00099_00'])
     viz = exp_root / 'synthetic' / 'viz' / 'synth00099_00'
     assert (viz / 'pred_instances.ply').exists() or (viz / 'rgb.ply').exists()
+
+
+@pytest.mark.skipif(os.environ.get('B2M_SLOW_TESTS') != '1',
+                    reason='minutes-long overfit run; scripts/run_slow_suite.py')
+def test_e2e_quality_value(tmp_path):
+    """A VALUE assertion through the real CLIs (round-3 verdict #7): the
+    short quality-gate recipe (scripts/quality_gate.py — overfit one scene,
+    official ScanNet AP) must clear a loose bar. A silent mAP-0 regression in
+    conv semantics / NMS / heatmap projection / the metric now fails the
+    suite instead of only the manual gate (full gate: 75 epochs -> mAP50
+    >= 0.5; this trimmed run uses 20 epochs and a 0.2 bar to stay in the
+    slow-suite budget)."""
+    import importlib
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        'scripts'))
+    quality_gate = importlib.import_module('quality_gate')
+    map50 = quality_gate.run_gate(epochs=20, threshold=0.2,
+                                  exp_root=str(tmp_path), dataset_size=16)
+    assert map50 == map50 and map50 > 0.2, f'overfit mAP50 = {map50}'

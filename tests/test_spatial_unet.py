@@ -159,6 +159,73 @@ def test_spatial_grads_match_single_device(setup):
     assert checked > 50
 
 
+def test_sharded_eval_matches_single_device(tmp_path):
+    """Round-3 verdict #4: a scene larger than one device's voxel pad must
+    EVALUATE (not just train) through --spatial_shards, and the sharded
+    Evaluater path must match the single-device result scene for scene."""
+    from box2mask_tpu.datasets.loader import get_dataset
+    from box2mask_tpu.engine.evaluate import Evaluater
+    os.environ['BOX2MASK_EXP_ROOT'] = str(tmp_path)
+    try:
+        base = [
+            '--dataset_name', 'synthetic', '--exp_name', 'speval',
+            '--network_heads', 'mlp_offsets', 'mlp_bounds', 'mlp_bb_scores',
+            'mlp_semantics',
+            '--do_segment_pooling', '--bb_supervision',
+            '--smallest_bb_heuristic',
+            '--loss_weight_bb_bounds', '0.5', '--loss_weight_bb_scores', '1',
+            '--loss_weight_semantics', '1',
+            '--voxel_size', '0.05', '--vox_bucket', '512',
+            '--seg_bucket', '64', '--layers', '1', '--num_workers', '1',
+            '--dataset_size', '2', '--fixed_seed', '10',
+            '--eval_ths', '0.5', '0.05', '0.3', '0.6',
+            '--compute_dtype', 'float32']
+        cfg_sd = get_config(base)
+        cfg_sp = get_config(base + ['--spatial_shards', '2',
+                                    '--spatial_gather_level', '2'])
+        ds_sd = get_dataset(cfg_sd, 'val', do_augmentations=False)
+        ds_sp = get_dataset(cfg_sp, 'val', do_augmentations=False)
+
+        ev_sd = Evaluater(cfg_sd)
+        entries = ev_sd.dataset_prediction(ds_sd, batch_size=1, cache=False)
+        results_sd = ev_sd.pred_entries_to_results(entries)
+
+        # identical parameters (trees interchange by construction)
+        ev_sp = Evaluater(cfg_sp, state=ev_sd.state, model=ev_sd.model)
+        results_sp, entries_sp = ev_sp.spatial_dataset_results(ds_sp)
+
+        assert set(results_sp) == set(results_sd)
+        for name in results_sd:
+            r, g = results_sd[name], results_sp[name]
+            assert len(r['conf']) == len(g['conf']), name
+            # halo-exchanged convs reassociate f32 sums, so head outputs
+            # match to ~2e-4 (same tolerance as the forward-equality test
+            # above); borderline threshold crossings may flip a handful of
+            # mask bits
+            ro = np.argsort(-np.asarray(r['conf']), kind='stable')
+            go = np.argsort(-np.asarray(g['conf']), kind='stable')
+            np.testing.assert_allclose(np.asarray(r['conf'])[ro],
+                                       np.asarray(g['conf'])[go], rtol=1e-3)
+            np.testing.assert_array_equal(np.asarray(r['label_id'])[ro],
+                                          np.asarray(g['label_id'])[go])
+            rm, gm = np.asarray(r['mask'])[ro], np.asarray(g['mask'])[go]
+            assert rm.shape == gm.shape
+            if rm.size:
+                assert (rm != gm).mean() < 1e-3, (rm != gm).mean()
+
+        # the "huge scene" criterion: per-shard voxel pad < the whole scene
+        dev, host = next(iter(ds_sp.get_loader(shuffle=False,
+                                               drop_last=False,
+                                               batch_size=1)))
+        assert host['spatial_meta']['pads'][0] < host['num_voxels'][0]
+
+        # and the full protocol produces an AP table from the sharded path
+        avgs = ev_sp.scannet_eval(results_sp, entries_sp)
+        assert 'all_ap_50%' in avgs
+    finally:
+        os.environ.pop('BOX2MASK_EXP_ROOT', None)
+
+
 @pytest.mark.skipif(os.environ.get('B2M_SLOW_TESTS') != '1',
                     reason='~4 min: Trainer end-to-end with --spatial_shards '
                            'on the 1-core virtual mesh — run per round via '
