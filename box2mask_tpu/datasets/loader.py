@@ -235,11 +235,16 @@ class BatchLoader:
             # host dict carries the standard per-scene metadata plus the
             # static shard plan in 'spatial_meta'
             from box2mask_tpu.parallel.spatial import build_spatial_unet_batch
+            from box2mask_tpu.datasets.batching import _key_conv_backend_ok
             assert len(rets) == 1, 'spatial sharding trains one scene/step'
+            kc = getattr(self.cfg, 'key_conv', 'off')
+            use_kc = ((kc == 'on' or (kc == 'eval'
+                                      and self.dataset.mode != 'train'))
+                      and _key_conv_backend_ok(self.cfg))
             dev, meta = build_spatial_unet_batch(
                 rets[0], self.cfg.spatial_shards,
                 gather_level=self.cfg.spatial_gather_level,
-                sem_id2idx=self.dataset.sem_id2idx)
+                sem_id2idx=self.dataset.sem_id2idx, key_conv=use_kc)
             host = {'scene': [rets[0]['scene']],
                     'labels': [rets[0].get('labels')],
                     'num_voxels': [len(rets[0]['vox_coords'])],

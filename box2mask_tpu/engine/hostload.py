@@ -119,11 +119,11 @@ def _pick_codec(k, a, example, wire, u8_colors=True):
         # sorted SENT-padded key rows: u16 deltas + per-row exceptions
         B, pad = a.shape
         return ('d16k', int(B), int(pad), pad // 64 + 64)
-    if re.fullmatch(r'kc[35d]_cnt\d+', k) and a.dtype.kind == 'i':
+    if re.fullmatch(r'kc[35du]_cnt\d+', k) and a.dtype.kind == 'i':
         # key_conv chunk counts: <= ceil(pad/window), single digits in
         # practice (asserted < 256 at pack)
         return 'u8'
-    if (re.fullmatch(r'kc[35d]_base\d+', k) and a.ndim == 3
+    if (re.fullmatch(r'kc[35du]_base\d+', k) and a.ndim == 3
             and a.dtype.kind == 'i'):
         # key_conv window starts: monotone along the tile axis per (scene,
         # group) — consecutive tiles' windows advance by ~tile/density rows

@@ -33,6 +33,9 @@ def nbr_kernel_volume(nbr):
     key_conv window-plan dict (sparse/key_conv.py), or the nmap column count
     of a spatial halo operand (parallel/spatial.py)."""
     if isinstance(nbr, dict):
+        if 'spatial_kc' in nbr:
+            ksize, stride_child, _ = nbr['spatial_kc']
+            return 8 if stride_child else ksize ** 3
         if 'slab_left' in nbr:
             return nbr['nmap'].shape[-1]
         ksize, stride_child, _ = nbr['static']
@@ -61,17 +64,18 @@ class SparseConv(nn.Module):
 
 
 class SparseConvTranspose(nn.Module):
-    """Stride-2 transpose conv (level l+1 -> l) via up_conv."""
+    """Stride-2 transpose conv (level l+1 -> l) via up_conv (or the
+    stride_parent key_conv kernel when the batch ships 'kcu' plans)."""
     features: int
     compute_dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x_coarse, parent, widx):
+    def __call__(self, x_coarse, parent, widx, kc=None):
         w = self.param('kernel', kaiming_fan_out, (8, x_coarse.shape[-1], self.features))
         return ops.up_conv(x_coarse, parent, widx, w,
                            compute_dtype=self.compute_dtype,
-                           use_pallas=self.use_pallas)
+                           use_pallas=self.use_pallas, kc=kc)
 
 
 class Linear1x1(nn.Module):

@@ -125,10 +125,24 @@ class SelectionNet(nn.Module):
 
         # ---- decoder: levels 6..0 (skip connections from encoder levels 6..0)
         for i, l in enumerate(range(6, -1, -1)):
+            kc_up = None
+            if f'kcu_base{l}' in batch:
+                # stride_parent key_conv transpose (sparse/key_conv.py);
+                # backward's down-structure conv reuses the kcd_{l} plans
+                kc_up = dict(
+                    keys_in=batch[f'keys{l + 1}_b'],
+                    keys_out_col=batch[f'keys{l}_b'].reshape(-1, 1),
+                    bases=batch[f'kcu_base{l}'],
+                    counts=batch[f'kcu_cnt{l}'],
+                    keys_fine=batch[f'keys{l}_b'],
+                    keys_coarse_col=batch[f'keys{l + 1}_b'].reshape(-1, 1),
+                    bases_d=batch[f'kcd_base{l}'],
+                    counts_d=batch[f'kcd_cnt{l}'],
+                    scale=1 << l)
             x = SparseConvTranspose(DEC_PLANES[i], compute_dtype=cd,
                                     use_pallas=up,
                                     name=f'up{l}_tr')(
-                x, batch[f'up_parent{l}'], batch[f'up_widx{l}'])
+                x, batch[f'up_parent{l}'], batch[f'up_widx{l}'], kc=kc_up)
             x = bn(f'up{l}_bn')(x, batch[f'valid{l}'], batch[f'num{l}'], train)
             x = nn.relu(x)
             x = jnp.concatenate([x, skips[l]], axis=-1)

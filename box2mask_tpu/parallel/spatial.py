@@ -183,7 +183,7 @@ def make_spatial_conv_stack(mesh, n_layers, axis=AXIS,
 
 def build_spatial_unet_batch(ret, n_shards, gather_level=3, stem_kernel=5,
                              bucket=128, halo_bucket=128, seg_bucket=64,
-                             num_levels=8, sem_id2idx=None):
+                             num_levels=8, sem_id2idx=None, key_conv=False):
     """Host: build the sharded batch for ONE scene's full SelectionNet forward.
 
     Returns (dev, meta):
@@ -380,6 +380,10 @@ def build_spatial_unet_batch(ret, n_shards, gather_level=3, stem_kernel=5,
         gather_rows[lo:hi] = d * padG_shard + np.arange(hi - lo)
     dev['sp_gather_rows'] = gather_rows
 
+    if key_conv:
+        _emit_spatial_kc_plans(dev, pyr, bounds, halos, pads, padG_shard,
+                               G, D, stem_kernel)
+
     # segment-level arrays (replicated) under the standard batch names
     loc = np.zeros((S_pad, 3), np.float32)
     il = np.asarray(ret['input_location'], np.float32)
@@ -416,6 +420,141 @@ def build_spatial_unet_batch(ret, n_shards, gather_level=3, stem_kernel=5,
             'perm': perm, 'bounds0': bounds[0].copy(),
             'boundsG': bounds[G].copy()}
     return dev, meta
+
+
+def _emit_spatial_kc_plans(dev, pyr, bounds, halos, pads, padG_shard, G, D,
+                           stem_kernel):
+    """Per-shard key_conv window plans for the sharded levels (< G).
+
+    The in-window key-matching kernel (sparse/key_conv.py) is shard-friendly
+    by construction: each shard's extended row space [halo|local|halo] is a
+    CONTIGUOUS range of the globally key-sorted rows, so it is itself sorted
+    and the kernel's per-(tile, dx-group) windows apply unchanged. Layout per
+    shard and level l < G:
+
+      * sp_ext_keys{l}: (D, ext_pad) compact SORTED int32 keys — left-halo
+        rows, local rows, right-halo rows back to back, SENT-padded,
+      * sp_ext_map{l}:  (D, ext_pad) gather map from halo_extend's
+        [H | pad | H] slot layout into the compact order,
+      * sp_ext_lo{l}:   (D, 1) start of the local rows in the compact order,
+      * sp_kc3_base/cnt{l} (+ spkc5 at l=0): window plans whose OUTPUT space
+        is the ext space itself — outputs at halo rows are garbage near the
+        ext edge but discarded by the local-rows slice, and computing them
+        keeps input space == output space, which is exactly what lets
+        key_conv_train reuse its forward plans for the mirrored backward,
+      * sp_kcd_base/cnt{l}: down-conv plans (out = local level-(l+1) rows),
+      * sp_kcd_par/widx{l}: each ext fine row's parent among THIS shard's
+        local coarse rows (sentinel = coarse pad) — the transpose structure
+        key_conv_down_train's backward needs.
+
+    Requires coords within the 10-bit/axis key packing (same condition as
+    the single-device key_conv path, datasets/batching.py); callers skip
+    plan emission outside it and the module falls back to the nmap path.
+    """
+    import math
+    from box2mask_tpu.sparse import key_conv as KC
+    from box2mask_tpu.sparse.device_maps import AXIS_BITS, AXIS_MAX, SENT_KEY
+
+    for l in range(G + 1):
+        c = np.asarray(pyr[f'coords{l}'])
+        if len(c) and (c.max() >= AXIS_MAX or c.min() < 0):
+            import warnings
+            warnings.warn(
+                f'scene exceeds the {AXIS_MAX}-voxel/axis key packing; '
+                'sharded key_conv plans skipped (nmap halo path used)',
+                RuntimeWarning)
+            return
+
+    def keys10(l):
+        c = pyr[f'coords{l}'].astype(np.int64)
+        return ((c[:, 0] << (2 * AXIS_BITS)) | (c[:, 1] << AXIS_BITS)
+                | c[:, 2]).astype(np.int32)
+
+    k10 = [keys10(l) for l in range(G + 1)]
+    offs3 = KC.offsets_3d(3)
+    g3 = KC.group_by_dx(offs3)
+    offs5 = KC.offsets_3d(stem_kernel)
+    g5 = KC.group_by_dx(offs5)
+    offsd = KC.offsets_3d(2, stride_child=True)
+    gd = KC.group_by_dx(offsd)
+
+    for l in range(G):
+        H, pad = halos[l], pads[l]
+        tile = math.gcd(math.gcd(H, pad), KC.TILE)
+        ext_pad = H + pad + H
+        out_pad = pads[l + 1] if l + 1 < G else padG_shard
+        tile_out = math.gcd(out_pad, KC.TILE)
+        nd_all = np.diff(bounds[l])
+        ext_keys = np.full((D, ext_pad), int(SENT_KEY), np.int32)
+        ext_map = np.zeros((D, ext_pad), np.int32)
+        ext_lo = np.zeros((D, 1), np.int32)
+        okeys = np.full((D, out_pad), int(SENT_KEY), np.int32)
+        par = np.full((D, ext_pad), out_pad, np.int32)
+        widx = np.zeros((D, ext_pad), np.int32)
+        scale = 1 << l
+        d3 = [KC.pack_delta(o, scale) for o in offs3]
+        d5 = [KC.pack_delta(o, scale) for o in offs5] if l == 0 else None
+        dd = [KC.pack_delta(o, scale) for o in offsd]
+        win = min(KC.WINDOW, ext_pad)
+        b3 = np.zeros((D, ext_pad // tile, len(g3)), np.int32)
+        c3 = np.zeros_like(b3)
+        b5 = c5 = None
+        if l == 0:
+            b5 = np.zeros((D, ext_pad // tile, len(g5)), np.int32)
+            c5 = np.zeros_like(b5)
+        bd = np.zeros((D, out_pad // tile_out, len(gd)), np.int32)
+        cd = np.zeros_like(bd)
+        m = np.int64((1 << (l + 1)) - 1)
+        floor_mask = ~np.int64((int(m) << (2 * AXIS_BITS))
+                               | (int(m) << AXIS_BITS) | int(m))
+        coarse_valid = None
+        for d in range(D):
+            lo, hi = int(bounds[l][d]), int(bounds[l][d + 1])
+            nd = hi - lo
+            kL = min(H, int(nd_all[d - 1])) if d > 0 else 0
+            kR = min(H, int(nd_all[d + 1])) if d + 1 < D else 0
+            n_ext = kL + nd + kR
+            ext_keys[d, :n_ext] = k10[l][lo - kL:hi + kR]
+            ext_map[d, :n_ext] = np.concatenate([
+                (H - kL) + np.arange(kL),          # halo_extend left slots
+                H + np.arange(nd),                 # local slots
+                H + pad + np.arange(kR)])          # right slots
+            ext_lo[d, 0] = kL
+            b3[d], c3[d] = KC._host_bases(ext_keys[d], ext_keys[d], d3, g3,
+                                          win, ext_pad, tile=tile)
+            if l == 0:
+                b5[d], c5[d] = KC._host_bases(ext_keys[d], ext_keys[d], d5,
+                                              g5, win, ext_pad, tile=tile)
+            # down conv: out rows = this shard's local level-(l+1) keys
+            loc, hic = int(bounds[l + 1][d]), int(bounds[l + 1][d + 1])
+            okeys[d, :hic - loc] = k10[l + 1][loc:hic]
+            bd[d], cd[d] = KC._host_bases(ext_keys[d], okeys[d], dd, gd,
+                                          win, ext_pad, tile=tile_out)
+            # transpose structure for the down backward: parent of each ext
+            # fine row among the LOCAL coarse rows (sentinel out_pad if the
+            # parent lives on a neighbor shard — zero contribution there;
+            # that cotangent arrives via the halo exchange transpose instead)
+            fine = k10[l][lo - kL:hi + kR].astype(np.int64)
+            pk = (fine & floor_mask).astype(np.int32)
+            cv = k10[l + 1][loc:hic]
+            pos = np.searchsorted(cv, pk)
+            hit = (pos < len(cv)) & (cv[np.minimum(pos, max(len(cv) - 1, 0))]
+                                     == pk)
+            par[d, :n_ext] = np.where(hit, pos, out_pad)
+            xb = (fine >> (2 * AXIS_BITS + l)) & 1
+            yb = (fine >> (AXIS_BITS + l)) & 1
+            zb = (fine >> l) & 1
+            widx[d, :n_ext] = (xb * 4 + yb * 2 + zb).astype(np.int32)
+        dev[f'sp_ext_keys{l}'] = ext_keys
+        dev[f'sp_ext_map{l}'] = ext_map
+        dev[f'sp_ext_lo{l}'] = ext_lo
+        dev[f'sp_kc3_base{l}'], dev[f'sp_kc3_cnt{l}'] = b3, c3
+        if l == 0:
+            dev['sp_kc5_base0'], dev['sp_kc5_cnt0'] = b5, c5
+        dev[f'sp_kcd_base{l}'], dev[f'sp_kcd_cnt{l}'] = bd, cd
+        dev[f'sp_kcd_okeys{l}'] = okeys
+        dev[f'sp_kcd_par{l}'] = par
+        dev[f'sp_kcd_widx{l}'] = widx
 
 
 class SpatialSelectionNet:
@@ -460,6 +599,32 @@ class SpatialSelectionNet:
                             'slab_right': batch[f'sp_slabR{l}'],
                             'halo': batch[f'sp_slabL{l}'].shape[-1]}
 
+                def sp_kc(l, kind):
+                    """Sharded key_conv operand (ops.gather_conv 'spatial_kc'
+                    branch); kind: '3'/'5' same-level, 'd' down l -> l+1."""
+                    base = {'3': f'sp_kc3_base{l}', '5': 'sp_kc5_base0',
+                            'd': f'sp_kcd_base{l}'}[kind]
+                    op = {'spatial_kc': ({'3': 3, '5': self.stem_kernel,
+                                          'd': 2}[kind], kind == 'd', 1 << l),
+                          'slab_left': batch[f'sp_slabL{l}'],
+                          'slab_right': batch[f'sp_slabR{l}'],
+                          'halo': batch[f'sp_slabL{l}'].shape[-1],
+                          'ext_map': batch[f'sp_ext_map{l}'],
+                          'ext_keys': batch[f'sp_ext_keys{l}'],
+                          'bases': batch[base],
+                          'counts': batch[base.replace('base', 'cnt')]}
+                    if kind == 'd':
+                        op['keys_out'] = batch[f'sp_kcd_okeys{l}']
+                        op['up_parent'] = batch[f'sp_kcd_par{l}']
+                        op['up_widx'] = batch[f'sp_kcd_widx{l}']
+                    else:
+                        op['ext_lo'] = batch[f'sp_ext_lo{l}']
+                        op['pad'] = batch[f'sp_valid{l}'].shape[-1]
+                    return op
+
+                def has_kc(l):
+                    return f'sp_kc3_base{l}' in batch
+
                 def vn(l):
                     if l < G:
                         return batch[f'sp_valid{l}'], batch[f'sp_num{l}']
@@ -472,7 +637,8 @@ class SpatialSelectionNet:
                     return MaskedBatchNorm(axis_name=ax(l), name=name)
 
                 def blocks(x, l, planes, stage):
-                    nbr = (sp_op(batch[f'sp_nmap3_{l}'], l) if l < G
+                    nbr = ((sp_kc(l, '3') if has_kc(l)
+                            else sp_op(batch[f'sp_nmap3_{l}'], l)) if l < G
                            else batch[f'g_nmap3_{l}'])
                     v, n = vn(l)
                     for i in range(self.layers):
@@ -484,14 +650,18 @@ class SpatialSelectionNet:
 
                 x = SparseConv(U.INIT_DIM, self.stem_kernel ** 3,
                                compute_dtype=cd, name='stem_conv')(
-                    batch['sp_feats'], sp_op(batch['sp_nmap5'], 0))
+                    batch['sp_feats'],
+                    sp_kc(0, '5') if 'sp_kc5_base0' in batch
+                    else sp_op(batch['sp_nmap5'], 0))
                 v, n = vn(0)
                 x = bn('stem_bn', 0)(x, v, n, train)
                 x = jax.nn.relu(x)
                 skips = [x]
 
                 for l in range(1, 8):
-                    if l < G:
+                    if l <= G and has_kc(l - 1):
+                        nbr = sp_kc(l - 1, 'd')
+                    elif l < G:
                         nbr = sp_op(batch[f'sp_down{l - 1}'], l - 1)
                     elif l == G:
                         nbr = sp_op(batch['sp_downG'], G - 1)

@@ -45,6 +45,14 @@ from box2mask_tpu.sparse.device_maps import AXIS_BITS, AXIS_MAX, SENT_KEY
 # 128/384 = 3.2ms/conv vs 4.3 at 256/512 and 8.3 for the XLA gather path
 TILE = 128          # output rows per grid step (overridable per call)
 WINDOW = 384        # input rows per window chunk (multiple of 128)
+# the one-hot gather matmul costs T*W*cin_pad per offset REGARDLESS of how
+# few lanes carry real channels, so narrow-input convs want the smallest
+# window their match spans allow (spills run exact blocking chunks):
+#   stem 5^3: per-(tile,offset) span p50=123/p90=153 at ScanNet 2cm
+#   (scripts round-4 span probe) -> 256 covers 96%;
+#   up transpose: <= T/2 parents per tile -> 128 covers nearly all
+WINDOW_STEM = 256
+WINDOW_UP = 128
 
 
 def _round128(c):
@@ -256,28 +264,40 @@ def _host_bases(keys_np, out_keys_np, deltas, groups, window, pad,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('kernel_size', 'stride_child', 'scale', 'guard',
-                     'window', 'tile', 'group_mode', 'interpret'))
+    static_argnames=('kernel_size', 'stride_child', 'stride_parent', 'scale',
+                     'guard', 'window', 'tile', 'group_mode', 'interpret'))
 def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
-             kernel_size=3, stride_child=False, scale=1, guard=True,
-             window=WINDOW, tile=TILE, group_mode='dx', interpret=False):
+             kernel_size=3, stride_child=False, stride_parent=False, scale=1,
+             guard=True, window=WINDOW, tile=TILE, group_mode='dx',
+             interpret=False):
     """out[v] = sum_k x[match(key_out[v] + delta_k * scale)] @ w[k].
 
     x:            (B*pad_in, Cin) features, scene-interleaved, key-sorted
     keys_in_b:    (B, pad_in) int32 sorted keys (SENT-padded)
     keys_out_col: (B*pad_out, 1) int32 output keys (== input keys for
-                  same-level convs; coarse keys for the down conv)
+                  same-level convs; coarse keys for the down conv; FINE keys
+                  for the stride_parent transpose conv)
     bases/counts: (B, tiles, G) int32 window starts / chunk counts
     w:            (K, Cin, Cout)
-    """
+
+    stride_parent: the TRANSPOSE ("generative up") conv as a key match:
+    fine-row query k is `fine_key - child_delta_k`, which equals the parent's
+    floored key iff the fine row's per-field level bits equal offset k (its
+    up_widx) — and can equal NO other coarse key: subtracting 2^l from a
+    field whose bit l is 0 always leaves bit l set in that field (borrows
+    into higher fields never clear it), and every coarse key has bit l clear
+    in every field. So exactly one offset matches per fine row, with the
+    parent's features and the widx weight slot — ops.up_conv semantics, but
+    windowed at HBM bandwidth instead of the giant einsum+row-gather."""
     Bp_in, cin_raw = x.shape
     B, pad = keys_in_b.shape
     n_out = keys_out_col.shape[0]
     pad_out = n_out // B
     assert pad_out % tile == 0, f'pad_out {pad_out} % {tile}'
     window = min(window, pad)
-    offs = offsets_3d(kernel_size, stride_child=stride_child)
-    deltas = [pack_delta(o, scale) for o in offs]
+    offs = offsets_3d(kernel_size, stride_child=stride_child or stride_parent)
+    sign = -1 if stride_parent else 1
+    deltas = [sign * pack_delta(o, scale) for o in offs]
     groups = group_offsets(offs, group_mode)
     kdim = len(offs)
     assert w.shape[0] == kdim
@@ -378,12 +398,18 @@ def host_conv_plans(keys_levels, vox_bucket=4096, stem_kernel=5):
         if l == 0:
             d5 = [pack_delta(o) for o in offs5]
             plans[f'kc5_base{l}'], plans[f'kc5_cnt{l}'] = _host_bases(
-                keys, keys, d5, g5, win, pad)
+                keys, keys, d5, g5, min(WINDOW_STEM, pad), pad)
         if l + 1 < len(keys_levels):
             coarse = keys_levels[l + 1]
             dd = [pack_delta(o, scale) for o in offsd]
             plans[f'kcd_base{l}'], plans[f'kcd_cnt{l}'] = _host_bases(
                 keys, coarse, dd, gd, win, pad)
+            # transpose ("up") conv l+1 -> l: fine queries into the COARSE
+            # key array with negated child deltas (key_conv stride_parent)
+            du = [-d for d in dd]
+            win_u = min(WINDOW_UP, len(coarse))
+            plans[f'kcu_base{l}'], plans[f'kcu_cnt{l}'] = _host_bases(
+                coarse, keys, du, gd, win_u, len(coarse))
     return plans
 
 
@@ -391,11 +417,18 @@ def host_conv_plans(keys_levels, vox_bucket=4096, stem_kernel=5):
 def _dw_kernel(bases_ref, counts_ref, keys_col_ref, g_ref, x_hbm, keys_hbm,
                dw_ref, win_x, win_k, sem_x, sem_k, *,
                groups, deltas, offs, cin, cout, window, pad, tiles,
-               scale, guard, tile):
+               scale, guard, tile, dbuf=True):
     """dw[k] += (onehot_k @ win_x)^T @ g_tile, accumulated over the grid
     (same windows as the forward; the output block revisits every step).
     Cross-tile double buffering mirrors _kernel: tile flat's chunk-0 windows
-    were prefetched into slot flat%2 by the previous grid step."""
+    were prefetched into slot flat%2 by the previous grid step.
+
+    dbuf=False: single window buffer with blocking chunk-0 DMAs — used when
+    the (K, cin, cout) f32 output block alone nears the 16 MB scoped-VMEM
+    limit (27x512x256 dec-block sites = 14.2 MB; the 2-slot windows pushed
+    the total 9 KB over — measured compile failure, round 4). Those sites
+    sit at tiny deep levels, so losing the cross-tile prefetch there is
+    noise."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     flat = b * tiles + t
@@ -436,15 +469,16 @@ def _dw_kernel(bases_ref, counts_ref, keys_col_ref, g_ref, x_hbm, keys_hbm,
                 cpx.start()
                 cpk.start()
 
-    slot = flat % 2
+    slot = flat % 2 if dbuf else 0
 
-    @pl.when(flat == 0)
-    def _first():
-        issue(flat, slot)
+    if dbuf:
+        @pl.when(flat == 0)
+        def _first():
+            issue(flat, slot)
 
-    @pl.when(flat + 1 < total)
-    def _next():
-        issue(flat + 1, 1 - slot)
+        @pl.when(flat + 1 < total)
+        def _next():
+            issue(flat + 1, 1 - slot)
 
     def accum(g, shift, slot):
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
@@ -475,6 +509,9 @@ def _dw_kernel(bases_ref, counts_ref, keys_col_ref, g_ref, x_hbm, keys_hbm,
         shift0, cpx, cpk = dma_pair(flat, g, 0, slot)
 
         def do_group(g=g, shift0=shift0, cpx=cpx, cpk=cpk):
+            if not dbuf:              # no cross-tile prefetch: blocking DMA
+                cpx.start()
+                cpk.start()
             cpk.wait()
             cpx.wait()
             accum(g, shift0, slot)
@@ -497,12 +534,12 @@ def _dw_kernel(bases_ref, counts_ref, keys_col_ref, g_ref, x_hbm, keys_hbm,
 
 @functools.partial(
     jax.jit,
-    static_argnames=('kernel_size', 'stride_child', 'scale', 'guard',
-                     'window', 'tile', 'interpret'))
+    static_argnames=('kernel_size', 'stride_child', 'stride_parent', 'scale',
+                     'guard', 'window', 'tile', 'interpret'))
 def key_conv_dw(x, g, keys_in_b, keys_out_col, bases, counts, *,
-                kernel_size=3, stride_child=False, scale=1, guard=True,
-                window=WINDOW, tile=TILE, kdim=None, cin=None, cout=None,
-                interpret=False):
+                kernel_size=3, stride_child=False, stride_parent=False,
+                scale=1, guard=True, window=WINDOW, tile=TILE, kdim=None,
+                cin=None, cout=None, interpret=False):
     """dw[k] = sum_v x[match(key_out[v] + delta_k*scale)]^T g[v]."""
     Bp_in, cin_raw = x.shape
     cout_raw = g.shape[1]
@@ -510,8 +547,9 @@ def key_conv_dw(x, g, keys_in_b, keys_out_col, bases, counts, *,
     n_out = keys_out_col.shape[0]
     pad_out = n_out // B
     window = min(window, pad)
-    offs = offsets_3d(kernel_size, stride_child=stride_child)
-    deltas = [pack_delta(o, scale) for o in offs]
+    offs = offsets_3d(kernel_size, stride_child=stride_child or stride_parent)
+    sign = -1 if stride_parent else 1
+    deltas = [sign * pack_delta(o, scale) for o in offs]
     groups = group_by_dx(offs)
     kdim = len(offs)
     tiles = pad_out // tile
@@ -522,37 +560,65 @@ def key_conv_dw(x, g, keys_in_b, keys_out_col, bases, counts, *,
     gp = jnp.zeros((n_out, cout_p), jnp.float32)
     gp = gp.at[:, :cout_raw].set(g.astype(jnp.float32))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, tiles),
-        in_specs=[
-            pl.BlockSpec((tile, 1), lambda b, t, *_: (b * tiles + t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, cout_p), lambda b, t, *_: (b * tiles + t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((kdim, cin_p, cout_p),
-                               lambda b, t, *_: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((G, 2, window, cin_p), jnp.bfloat16),
-            pltpu.VMEM((G, 2, 1, window), jnp.int32),
-            pltpu.SemaphoreType.DMA((G, 2)),
-            pltpu.SemaphoreType.DMA((G, 2)),
-        ],
-    )
-    dw = pl.pallas_call(
-        functools.partial(_dw_kernel, groups=groups, deltas=deltas,
-                          offs=[tuple(int(v) for v in o) for o in offs],
-                          cin=cin_p, cout=cout_p, window=window, pad=pad,
-                          tiles=tiles, scale=scale, guard=guard, tile=tile),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((kdim, cin_p, cout_p), jnp.float32),
-        interpret=interpret,
-    )(bases.reshape(-1), counts.reshape(-1), keys_out_col, gp, xp,
-      keys_in_b.reshape(1, -1))
+    def dw_call(groups_c, deltas_c, offs_c, bases_c, counts_c, kdim_c):
+        Gc = len(groups_c)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, tiles),
+            in_specs=[
+                pl.BlockSpec((tile, 1), lambda b, t, *_: (b * tiles + t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, cout_p),
+                             lambda b, t, *_: (b * tiles + t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((kdim_c, cin_p, cout_p),
+                                   lambda b, t, *_: (0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((Gc, 2, window, cin_p), jnp.bfloat16),
+                pltpu.VMEM((Gc, 2, 1, window), jnp.int32),
+                pltpu.SemaphoreType.DMA((Gc, 2)),
+                pltpu.SemaphoreType.DMA((Gc, 2)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_dw_kernel, groups=groups_c, deltas=deltas_c,
+                              offs=offs_c, cin=cin_p, cout=cout_p,
+                              window=window, pad=pad, tiles=tiles,
+                              scale=scale, guard=guard, tile=tile),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((kdim_c, cin_p, cout_p),
+                                           jnp.float32),
+            interpret=interpret,
+        )(bases_c.reshape(-1), counts_c.reshape(-1), keys_out_col, gp, xp,
+          keys_in_b.reshape(1, -1))
+
+    offs_t = [tuple(int(v) for v in o) for o in offs]
+    out_bytes = kdim * cin_p * cout_p * 4
+    win_bytes = G * window * (cin_p * 2 + 4)
+    if out_bytes + 2 * win_bytes < 14 * 2 ** 20 or G == 1 or interpret:
+        dw = dw_call(groups, deltas, offs_t, bases, counts, kdim)
+        return dw[:, :cin_raw, :cout_raw]
+    # Big-cin sites (dec blocks with 512-wide concat inputs): the whole
+    # (K, cin, cout) f32 out block cannot sit in VMEM next to the windows
+    # (measured 16.48M vs the 16M scoped limit). Split per dx-group: one
+    # kernel per group with a (K/G, cin, cout) block — identical window DMA
+    # volume, 3 launches instead of 1, the per-launch out block 1/3 the size.
+    parts = []
+    for gi, members in enumerate(groups):
+        lo = members[0]
+        assert list(members) == list(range(lo, lo + len(members))), (
+            'per-group dw split needs contiguous offset indices per group '
+            '(x-major enumeration guarantees it)')
+        parts.append(dw_call(
+            [list(range(len(members)))],
+            [deltas[k] for k in members],
+            [offs_t[k] for k in members],
+            bases[:, :, gi:gi + 1], counts[:, :, gi:gi + 1], len(members)))
+    dw = jnp.concatenate(parts, axis=0)
     return dw[:, :cin_raw, :cout_raw]
 
 
@@ -563,77 +629,151 @@ def _mirror_weights(w):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9))
+                   nondiff_argnums=(6, 7, 8, 9, 10))
 def key_conv_train(x, keys_in_b, keys_out_col, bases, counts, w,
-                   kernel_size=3, scale=1, guard=True, window=WINDOW):
+                   kernel_size=3, scale=1, guard=True, window=WINDOW,
+                   tile=TILE):
     """Differentiable same-level key conv (3^3 / 5^3).
 
     Backward needs NO extra plans: the gradient w.r.t. x is the same conv with
     mirrored-transposed weights (the delta SET is symmetric, so the per-tile
     window plans are identical), and dw accumulates through key_conv_dw over
     the same windows. The stride-2 down conv's backward is the transpose-conv
-    structure instead (see ops.gather_conv dispatch)."""
+    structure instead (see ops.gather_conv dispatch).
+
+    The plan reuse requires input space == output space (keys_out_col rows
+    are the keys_in_b rows). The spatially-sharded path satisfies this by
+    computing outputs over the whole [halo|local|halo] ext space and slicing
+    the local rows afterwards (parallel/spatial.py sharded key_conv)."""
     return key_conv(x, keys_in_b, keys_out_col, bases, counts, w,
                     kernel_size=kernel_size, scale=scale, guard=guard,
-                    window=window,
+                    window=window, tile=tile,
                     interpret=jax.default_backend() != 'tpu')
 
 
 def _kct_fwd(x, keys_in_b, keys_out_col, bases, counts, w,
-             kernel_size, scale, guard, window):
+             kernel_size, scale, guard, window, tile):
     out = key_conv_train(x, keys_in_b, keys_out_col, bases, counts, w,
-                         kernel_size, scale, guard, window)
-    return out, (x, keys_in_b, keys_out_col, bases, counts, w)
+                         kernel_size, scale, guard, window, tile)
+    # save x as bf16: the only consumer is key_conv_dw, whose kernel casts
+    # to bf16 anyway — identical dw, HALF the activation memory held across
+    # the backward (the difference between bs=8 training fitting HBM or not:
+    # measured 16.0 vs 15.75 GB at 8x131072 rows). x[:0] carries the primal
+    # dtype for the cotangent.
+    return out, (x.astype(jnp.bfloat16), x[:1, :1], keys_in_b, keys_out_col,
+                 bases, counts, w)
 
 
-def _kct_bwd(kernel_size, scale, guard, window, res, gout):
-    x, keys_in_b, keys_out_col, bases, counts, w = res
+def _kct_bwd(kernel_size, scale, guard, window, tile, res, gout):
+    x_bf, x_marker, keys_in_b, keys_out_col, bases, counts, w = res
     interp = jax.default_backend() != 'tpu'
     dx = key_conv(gout, keys_in_b, keys_out_col, bases, counts,
                   _mirror_weights(w), kernel_size=kernel_size, scale=scale,
-                  guard=guard, window=window, interpret=interp)
-    dx = dx[:, :x.shape[1]].astype(x.dtype)
-    dw = key_conv_dw(x, gout, keys_in_b, keys_out_col, bases, counts,
+                  guard=guard, window=window, tile=tile, interpret=interp)
+    dx = dx[:, :x_bf.shape[1]].astype(x_marker.dtype)
+    dw = key_conv_dw(x_bf, gout, keys_in_b, keys_out_col, bases, counts,
                      kernel_size=kernel_size, scale=scale, guard=guard,
-                     window=window, interpret=interp)
+                     window=window, tile=tile, interpret=interp)
     return (dx, None, None, None, None, dw.astype(w.dtype))
 
 
 key_conv_train.defvjp(_kct_fwd, _kct_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def key_conv_down_train(x, keys_in_b, keys_out_col, bases, counts,
-                        up_parent, up_widx, w, scale=1, window=WINDOW):
+                        up_parent, up_widx, w, scale=1, window=WINDOW,
+                        tile=TILE):
     """Differentiable stride-2 down conv. Backward w.r.t. x is the
     transpose-conv structure (every fine voxel has ONE parent and one weight
     slot): dx[v] = g[up_parent[v]] @ w[up_widx[v]]^T — ops.up_conv with
-    transposed weights; dw accumulates via key_conv_dw."""
+    transposed weights; dw accumulates via key_conv_dw.
+
+    Under spatial sharding, x's rows are the fine EXT space and `up_parent`
+    maps each ext fine row to its parent among THIS shard's local coarse
+    output rows (sentinel = coarse pad -> zero contribution), so dx lands in
+    the ext space and flows back through the halo exchange's transpose."""
     return key_conv(x, keys_in_b, keys_out_col, bases, counts, w,
                     kernel_size=2, stride_child=True, scale=scale,
-                    guard=False, window=window,
+                    guard=False, window=window, tile=tile,
                     interpret=jax.default_backend() != 'tpu')
 
 
 def _kcd_fwd(x, keys_in_b, keys_out_col, bases, counts, up_parent, up_widx,
-             w, scale, window):
+             w, scale, window, tile):
     out = key_conv_down_train(x, keys_in_b, keys_out_col, bases, counts,
-                              up_parent, up_widx, w, scale, window)
-    return out, (x, keys_in_b, keys_out_col, bases, counts, up_parent,
-                 up_widx, w)
+                              up_parent, up_widx, w, scale, window, tile)
+    return out, (x.astype(jnp.bfloat16), x[:1, :1], keys_in_b, keys_out_col,
+                 bases, counts, up_parent, up_widx, w)
 
 
-def _kcd_bwd(scale, window, res, gout):
+def _kcd_bwd(scale, window, tile, res, gout):
     from box2mask_tpu.sparse import ops
-    x, keys_in_b, keys_out_col, bases, counts, up_parent, up_widx, w = res
+    (x_bf, x_marker, keys_in_b, keys_out_col, bases, counts, up_parent,
+     up_widx, w) = res
     dx = ops.up_conv(gout, up_parent, up_widx,
-                     jnp.transpose(w, (0, 2, 1)))[:, :x.shape[1]]
+                     jnp.transpose(w, (0, 2, 1)))[:, :x_bf.shape[1]]
     interp = jax.default_backend() != 'tpu'
-    dw = key_conv_dw(x, gout, keys_in_b, keys_out_col, bases, counts,
+    dw = key_conv_dw(x_bf, gout, keys_in_b, keys_out_col, bases, counts,
                      kernel_size=2, stride_child=True, scale=scale,
-                     guard=False, window=window, interpret=interp)
-    return (dx.astype(x.dtype), None, None, None, None, None, None,
+                     guard=False, window=window, tile=tile, interpret=interp)
+    return (dx.astype(x_marker.dtype), None, None, None, None, None, None,
             dw.astype(w.dtype))
 
 
 key_conv_down_train.defvjp(_kcd_fwd, _kcd_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def key_conv_up_train(x, keys_coarse_b, keys_fine_col, bases_u, counts_u,
+                      keys_fine_b, keys_coarse_col, bases_d, counts_d, w,
+                      scale=1, window=WINDOW):
+    """Differentiable stride-2 TRANSPOSE conv (level l+1 -> l) as a key
+    match (see key_conv stride_parent). Replaces ops.up_conv's
+    einsum-then-row-gather, which is gather-bandwidth bound (the U*8*C f32
+    intermediate + a V-row gather measured 20 ms at level 1->0 vs ~15 ms for
+    a full 27-offset 96ch conv — scripts/profile_levels.py round-4 table).
+
+    Backward w.r.t. x is the stride-2 DOWN conv of the cotangent with
+    transposed weights over the (l -> l+1) plans the batch already carries
+    (kcd_base/cnt); dw accumulates via key_conv_dw over the up plans."""
+    return key_conv(x, keys_coarse_b, keys_fine_col, bases_u, counts_u, w,
+                    kernel_size=2, stride_parent=True, scale=scale,
+                    guard=False, window=window,
+                    interpret=jax.default_backend() != 'tpu')
+
+
+def _kcu_fwd(x, keys_coarse_b, keys_fine_col, bases_u, counts_u,
+             keys_fine_b, keys_coarse_col, bases_d, counts_d, w,
+             scale, window):
+    out = key_conv_up_train(x, keys_coarse_b, keys_fine_col, bases_u,
+                            counts_u, keys_fine_b, keys_coarse_col, bases_d,
+                            counts_d, w, scale, window)
+    return out, (x.astype(jnp.bfloat16), x[:1, :1], keys_coarse_b,
+                 keys_fine_col, bases_u, counts_u, keys_fine_b,
+                 keys_coarse_col, bases_d, counts_d, w)
+
+
+def _kcu_bwd(scale, window, res, gout):
+    (x_bf, x_marker, keys_coarse_b, keys_fine_col, bases_u, counts_u,
+     keys_fine_b, keys_coarse_col, bases_d, counts_d, w) = res
+    x = x_bf
+    interp = jax.default_backend() != 'tpu'
+    # NB the down-structure plans (bases_d/counts_d) were built at the
+    # standard WINDOW (host_conv_plans kcd); `window` here is the UP plan's
+    # (WINDOW_UP) — chunk counts only line up with the window they were
+    # built for
+    dx = key_conv(gout, keys_fine_b, keys_coarse_col, bases_d, counts_d,
+                  jnp.transpose(w, (0, 2, 1)), kernel_size=2,
+                  stride_child=True, scale=scale, guard=False,
+                  window=WINDOW, interpret=interp)
+    dx = dx[:, :x.shape[1]].astype(x_marker.dtype)
+    dw = key_conv_dw(x, gout, keys_coarse_b, keys_fine_col, bases_u,
+                     counts_u, kernel_size=2, stride_parent=True,
+                     scale=scale, guard=False, window=window,
+                     interpret=interp)
+    return (dx, None, None, None, None, None, None, None, None,
+            dw.astype(w.dtype))
+
+
+key_conv_up_train.defvjp(_kcu_fwd, _kcu_bwd)

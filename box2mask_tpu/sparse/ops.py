@@ -38,6 +38,40 @@ def gather_conv(x, nbr, w, compute_dtype=jnp.bfloat16, unroll_threshold=9,
     With use_pallas=True (and tile-aligned shapes) dispatches to the fused
     window-gather MXU kernel (sparse/pallas_conv.py).
     """
+    if isinstance(nbr, dict) and 'spatial_kc' in nbr:
+        # spatially-sharded key_conv operand (parallel/spatial.py
+        # _emit_spatial_kc_plans): halo exchange, compact the [H|pad|H] slot
+        # layout into the shard's contiguous sorted ext rows, then run the
+        # in-window key-matching kernel. Same-level convs compute outputs
+        # over the WHOLE ext space (input space == output space, so
+        # key_conv_train's plan-reusing mirrored backward applies verbatim)
+        # and slice the local rows; the stride-2 down conv outputs the local
+        # coarse rows directly, with its transpose structure (par/widx over
+        # ext fine rows) shipped for the backward.
+        from box2mask_tpu.parallel import spatial
+        from box2mask_tpu.sparse import key_conv as KC
+        ksize, stride_child, scale = nbr['spatial_kc']
+        ext = spatial.halo_extend(x, nbr['slab_left'], nbr['slab_right'],
+                                  nbr['halo'], axis=nbr.get('axis',
+                                                            spatial.AXIS))
+        xe = jnp.take(ext, nbr['ext_map'], axis=0)
+        keys = nbr['ext_keys']                      # (ext_pad,) sorted
+        ext_pad = keys.shape[0]
+        bases, counts = nbr['bases'], nbr['counts']
+        win = min(KC.WINDOW, ext_pad)
+        if stride_child:
+            okeys = nbr['keys_out']
+            tile = okeys.shape[0] // bases.shape[0]
+            return KC.key_conv_down_train(
+                xe, keys[None], okeys.reshape(-1, 1), bases[None],
+                counts[None], nbr['up_parent'], nbr['up_widx'], w,
+                scale, win, tile)
+        tile = ext_pad // bases.shape[0]
+        out = KC.key_conv_train(xe, keys[None], keys.reshape(-1, 1),
+                                bases[None], counts[None], w, ksize, scale,
+                                True, win, tile)
+        return jax.lax.dynamic_slice(
+            out, (nbr['ext_lo'][0], 0), (nbr['pad'], out.shape[1]))
     if isinstance(nbr, dict) and 'slab_left' in nbr:
         # spatially-sharded operand (parallel/spatial.py): exchange boundary
         # rows with the mesh neighbors (one ppermute hop each way), then
@@ -61,9 +95,10 @@ def gather_conv(x, nbr, w, compute_dtype=jnp.bfloat16, unroll_threshold=9,
                 x, nbr['keys_in'], nbr['keys_out_col'], nbr['bases'],
                 nbr['counts'], nbr['up_parent'], nbr['up_widx'], w,
                 scale, KC.WINDOW)
+        win = KC.WINDOW_STEM if ksize == 5 else KC.WINDOW
         return KC.key_conv_train(
             x, nbr['keys_in'], nbr['keys_out_col'], nbr['bases'],
-            nbr['counts'], w, ksize, scale, True, KC.WINDOW)
+            nbr['counts'], w, ksize, scale, True, win)
     K = w.shape[0]
     if use_pallas:
         from box2mask_tpu.sparse import pallas_conv as PC
@@ -90,7 +125,7 @@ def gather_conv(x, nbr, w, compute_dtype=jnp.bfloat16, unroll_threshold=9,
 
 
 def up_conv(x_coarse, parent, widx, w, compute_dtype=jnp.bfloat16,
-            use_pallas=False):
+            use_pallas=False, kc=None):
     """Stride-2 transpose ("generative up") convolution from level l+1 to level l.
 
     Every fine output voxel has exactly one coarse parent and one of 8 weight slots
@@ -100,7 +135,19 @@ def up_conv(x_coarse, parent, widx, w, compute_dtype=jnp.bfloat16,
 
     x_coarse: (U_pad, Cin); parent: (Vfine_pad,) int32 with U_pad == missing;
     widx: (Vfine_pad,) int32 in [0, 8); w: (8, Cin, Cout).
+
+    `kc`: key_conv up operand (batches carrying 'kcu_base{l}' window plans) —
+    dispatches to the stride_parent pallas kernel with exact custom VJPs
+    (sparse/key_conv.key_conv_up_train): the einsum materializes a U*8*Cout
+    f32 intermediate and row-gathers V rows from it, which is
+    gather-bandwidth bound (~20 ms at ScanNet level 1->0 vs ~2 ms windowed).
     """
+    if kc is not None:
+        from box2mask_tpu.sparse import key_conv as KC
+        return KC.key_conv_up_train(
+            x_coarse, kc['keys_in'], kc['keys_out_col'], kc['bases'],
+            kc['counts'], kc['keys_fine'], kc['keys_coarse_col'],
+            kc['bases_d'], kc['counts_d'], w, kc['scale'], KC.WINDOW_UP)
     U = x_coarse.shape[0]
     cout = w.shape[2]
     y = jnp.einsum('uc,kcd->ukd', x_coarse.astype(compute_dtype),

@@ -96,8 +96,10 @@ def bench_shape(name, keys, cin, cout, ksize, scale, reps, checked):
                         bj, cj, wj)
             float(jnp.sum(out))            # forces all n in-order execs
             return time.time() - t0
-        t1 = timed(1, 1)
-        tn = timed(reps + 1, 100)
+        # min over trials: second-scale tunnel stalls land in single probes
+        # and even produce NEGATIVE differences (measured 2026-08-19)
+        t1 = min(timed(1, 1 + 1000 * t) for t in range(3))
+        tn = min(timed(reps + 1, 100 + 1000 * t) for t in range(3))
         dt = (tn - t1) / reps
         print(f'{name:22s} {mode:5s} W={win_eff:4d} G={len(groups):3d} '
               f'multi-chunk tiles {frac_multi * 100:5.1f}%  '

@@ -18,6 +18,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TESTS = [
+    'tests/test_spatial_unet.py::test_spatial_key_conv_forward_matches_single_device',
+    'tests/test_spatial_unet.py::test_spatial_key_conv_grads_match_single_device',
     'tests/test_spatial_unet.py::test_spatial_grads_match_single_device',
     'tests/test_spatial_unet.py::test_huge_scene_trains_sharded',
     'tests/test_parallel.py::test_shard_map_train_step_runs_and_syncs',

@@ -272,6 +272,72 @@ def test_down_train_grads_match():
                                rtol=0.05, atol=0.02 * ws)
 
 
+def test_up_train_matches_up_conv():
+    """key_conv_up_train (stride_parent transpose conv) must match
+    ops.up_conv's einsum+gather in value AND gradients — it replaces it on
+    kc batches (round-4: up L1->L0 measured 20 ms einsum+gather vs windowed
+    kernel, scripts/profile_levels.py)."""
+    import jax
+    from box2mask_tpu.sparse import ops
+
+    rng = np.random.default_rng(13)
+    pad, cin, cout = 256, 8, 8
+    ki, n = make_keys(rng, pad - 30, pad)
+    fine = ki[ki < SENT_KEY]
+    coarse = floor_keys(fine, 1)
+    ko = np.full(pad, int(SENT_KEY), np.int32)
+    ko[:len(coarse)] = coarse
+    nc = len(coarse)
+    keys64 = ki.astype(np.int64)
+    co64 = coarse.astype(np.int64)
+
+    m = np.int64(1)
+    parent_key = keys64[:n] & ~((m << 20) | (m << 10) | m)
+    par = np.full(pad, pad, np.int32)
+    par[:n] = np.searchsorted(co64, parent_key)
+    widx = np.zeros(pad, np.int32)
+    widx[:n] = (((keys64[:n] >> 20) & 1) * 4 + ((keys64[:n] >> 10) & 1) * 2
+                + (keys64[:n] & 1))
+
+    x = rng.normal(size=(pad, cin)).astype(np.float32)   # coarse features
+    x[nc:] = 0
+    w = (rng.normal(size=(8, cin, cout)) * 0.1).astype(np.float32)
+
+    offs = KC.offsets_3d(2, stride_child=True)
+    du = [-KC.pack_delta(o) for o in offs]               # up: fine -> parent
+    dd = [KC.pack_delta(o) for o in offs]                # down (backward)
+    groups = KC.group_by_dx(offs)
+    win = min(KC.WINDOW, pad)
+    b_u, c_u = KC._host_bases(ko, ki, du, groups, win, pad)
+    b_d, c_d = KC._host_bases(ki, ko, dd, groups, win, pad)
+
+    xj, wj = jnp.asarray(x), jnp.asarray(w)
+    tgt = jnp.asarray(rng.normal(size=(pad, cout)).astype(np.float32))
+
+    def loss_ref(x, w):
+        out = ops.up_conv(x, jnp.asarray(par), jnp.asarray(widx), w,
+                          compute_dtype=jnp.float32)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_kc(x, w):
+        out = KC.key_conv_up_train(
+            x, jnp.asarray(ko[None]), jnp.asarray(ki.reshape(-1, 1)),
+            jnp.asarray(b_u[None]), jnp.asarray(c_u[None]),
+            jnp.asarray(ki[None]), jnp.asarray(ko.reshape(-1, 1)),
+            jnp.asarray(b_d[None]), jnp.asarray(c_d[None]), w, 1, win)
+        return jnp.sum((out - tgt) ** 2)
+
+    v1, (gx1, gw1) = jax.value_and_grad(loss_ref, argnums=(0, 1))(xj, wj)
+    v2, (gx2, gw2) = jax.value_and_grad(loss_kc, argnums=(0, 1))(xj, wj)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=2e-2)
+    s = np.abs(np.asarray(gx1)).max()
+    np.testing.assert_allclose(np.asarray(gx2)[:nc], np.asarray(gx1)[:nc],
+                               rtol=0.05, atol=0.02 * s)
+    ws = np.abs(np.asarray(gw1)).max()
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
+                               rtol=0.05, atol=0.02 * ws)
+
+
 def test_key_conv_under_shard_map():
     """key_conv inside a shard_map DP step (per-device local windows) matches
     per-device serial execution — the --key_conv on multi-chip path."""

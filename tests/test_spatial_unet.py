@@ -159,6 +159,134 @@ def test_spatial_grads_match_single_device(setup):
     assert checked > 50
 
 
+@pytest.mark.skipif(os.environ.get('B2M_SLOW_TESTS') != '1',
+                    reason='~2-4 min: interpret-mode key_conv under '
+                           'shard_map — scripts/run_slow_suite.py')
+def test_spatial_key_conv_forward_matches_single_device(setup):
+    """Round-3 verdict #6: the in-window key-matching kernel under spatial
+    sharding. The spatial batch carries per-shard window plans over each
+    shard's compact sorted [halo|local|halo] ext rows; forward must equal
+    the single-device reference (same tolerance as the nmap sharded path —
+    the kernel itself is EXACT, only halo-exchange f32 reassociation
+    differs)."""
+    (cfg, ret, dev_std, batch_std, model, variables, dev_sp, meta, mesh,
+     model_sp) = setup
+    # apples-to-apples reference: single-device forward through the SAME
+    # key_conv kernel (interpret mode); the kernel rounds inputs to bf16, so
+    # an f32 nmap reference would differ by bf16 input rounding, not by
+    # anything the sharding does
+    ref = model.apply(variables, _kc_single_device_batch(cfg, ret),
+                      train=False)
+    dev_kc, meta_kc = SP.build_spatial_unet_batch(
+        ret, n_shards=D, gather_level=G, bucket=32, halo_bucket=64,
+        seg_bucket=64, sem_id2idx=get_tables('scannet')[1], key_conv=True)
+    assert 'sp_kc3_base0' in dev_kc, 'kc plans missing from the spatial batch'
+    apply = SP.make_spatial_apply(mesh, model_sp, dev_kc, train=False)
+    out = apply(variables, {k: jnp.asarray(v) for k, v in dev_kc.items()})
+    Sn = int(dev_std['num_segments'])
+    for h in cfg.network_heads:
+        np.testing.assert_allclose(np.asarray(ref[h])[:Sn],
+                                   np.asarray(out[h])[:Sn],
+                                   rtol=2e-4, atol=2e-4)
+
+
+def _kc_single_device_batch(cfg, ret):
+    """Single-scene device-maps batch CARRYING key_conv window plans (forced
+    on this CPU backend), fully materialized for a direct model.apply."""
+    import copy
+    cfg2 = copy.copy(cfg)
+    cfg2.key_conv = 'on'
+    cfg2.key_conv_force = True
+    cfg2.vox_bucket = 512
+    _, sem_id2idx, _, _ = get_tables('scannet')
+    dev, _ = build_batch([ret], cfg2, sem_id2idx, mode='val')
+    assert 'kc3_base0' in dev
+    return S.materialize_maps({k: jnp.asarray(v) for k, v in dev.items()})
+
+
+@pytest.mark.skipif(os.environ.get('B2M_SLOW_TESTS') != '1',
+                    reason='minutes: interpret-mode key_conv fwd+bwd under '
+                           'shard_map — scripts/run_slow_suite.py')
+def test_spatial_key_conv_grads_match_single_device(setup):
+    """Gradients through the sharded key_conv path (custom VJPs +
+    halo-exchange transposes + down-conv transpose structure) must match the
+    single-device key_conv gradients STRUCTURALLY: per-leaf cosine ~1 and
+    norm ratio ~1 on every leaf with meaningful magnitude, plus a global
+    cosine. Pointwise equality (the nmap grad test's protocol) is
+    unattainable here: the kernel rounds inputs to bf16, and with
+    train-mode BN the near-empty deep levels (2-8 voxels at this scene
+    size) amplify rounding differences through batch statistics into decorrelated —
+    but norm-preserving — noise on tiny leaves (measured round-4: every
+    leaf with norm >= 1e-3 of the max has cos >= 0.98, ratio ~1.0, while a
+    structural error — a missed psum or collective transpose — shifts norms
+    by a D-factor). BN uses running stats here (train=False) to keep the
+    comparison conditioned; the conv VJPs are exercised identically."""
+    (cfg, ret, dev_std, batch_std, model, variables, dev_sp, meta, mesh,
+     model_sp) = setup
+    bb_w, cs_w = jnp.float32(1.0), jnp.float32(0.0)
+    dev_kc, _ = SP.build_spatial_unet_batch(
+        ret, n_shards=D, gather_level=G, bucket=32, halo_bucket=64,
+        seg_bucket=64, sem_id2idx=get_tables('scannet')[1], key_conv=True)
+    assert 'sp_kc3_base0' in dev_kc
+    batch_kc = _kc_single_device_batch(cfg, ret)
+
+    def std_loss(params):
+        out = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            batch_kc, train=False)
+        return L.compute_losses(cfg, out, batch_kc, bb_w, cs_w)[
+            'optimization_loss']
+
+    ref_grads = jax.grad(std_loss)(variables['params'])
+
+    import functools
+    from jax.sharding import PartitionSpec as P
+    specs = SP.spatial_in_specs(dev_kc)
+    sharded = {k for k, s in specs.items() if s == P(SP.AXIS)}
+
+    @functools.partial(SP.shard_map, mesh=mesh, in_specs=(P(), specs),
+                       out_specs=P(), check_vma=False)
+    def sp_grads(params, batch):
+        local = {k: (v[0] if k in sharded else v) for k, v in batch.items()}
+
+        def loss_fn(p):
+            out = model_sp.apply(
+                {'params': p, 'batch_stats': variables['batch_stats']},
+                local, train=False)
+            return L.compute_losses(cfg, out, local, bb_w, cs_w)[
+                'optimization_loss']
+
+        g = jax.grad(loss_fn)(params)
+        return jax.tree.map(lambda x: x / D, jax.lax.psum(g, SP.AXIS))
+
+    got = jax.jit(sp_grads)(variables['params'],
+                            {k: jnp.asarray(v) for k, v in dev_kc.items()})
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_grads)
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(got))
+    norms = {str(p): float(np.linalg.norm(np.asarray(g)))
+             for p, g in flat_ref}
+    nmax = max(norms.values())
+    dot = nr2 = ng2 = 0.0
+    checked = 0
+    for path, rg in flat_ref:
+        gg = np.asarray(flat_got[path])
+        rg = np.asarray(rg)
+        dot += float((rg * gg).sum())
+        nr2 += float((rg * rg).sum())
+        ng2 += float((gg * gg).sum())
+        nr = norms[str(path)]
+        if nr < 1e-3 * nmax:       # noise-dominated tiny leaf
+            continue
+        ng = float(np.linalg.norm(gg))
+        cos = float((rg * gg).sum()) / max(nr * ng, 1e-12)
+        assert cos > 0.97, (str(path), cos)
+        assert 0.9 < ng / nr < 1.1, (str(path), ng / nr)
+        checked += 1
+    assert checked > 40, checked
+    gcos = dot / max(np.sqrt(nr2 * ng2), 1e-12)
+    assert gcos > 0.995, gcos
+
+
 def test_sharded_eval_matches_single_device(tmp_path):
     """Round-3 verdict #4: a scene larger than one device's voxel pad must
     EVALUATE (not just train) through --spatial_shards, and the sharded
