@@ -119,8 +119,18 @@ def bench_train(cfg, model, jax, jnp, S, batch_sizes=(1, 8), n_steps=8):
         dev_np = [build_batch(rets[i * bs:(i + 1) * bs], cfg, sem_id2idx,
                               mode='train')[0] for i in range(2)]
         uploader = BatchUploader()
-        state = S.init_state(cfg, model, tx, uploader(dev_np[0]))
-        step = S.make_train_step(cfg, model, tx)   # donate=True: the real
+        bs_model = model
+        if bs >= 4:
+            # block remat: bs=8 activations do not fit 16 GB HBM without it
+            # (+262 MB measured); param tree identical, so the throughput
+            # number stays comparable
+            import copy
+            cfg_r = copy.copy(cfg)
+            cfg_r.remat = True
+            bs_model = S.build_model(cfg_r, num_classes=20)
+            detail[f'train_remat{tag}'] = True
+        state = S.init_state(cfg, bs_model, tx, uploader(dev_np[0]))
+        step = S.make_train_step(cfg, bs_model, tx)  # donate=True: the real
         # trainer path (state buffers reused in-place, no per-step HBM copy)
         lr, one = jnp.float32(1e-3), jnp.float32(1.0)
         for d in dev_np:                                 # warm-up + compile

@@ -140,6 +140,11 @@ def config_parser():
     # amortizes the tunnel RTT (measured 6x at B=4, DESIGN.md round-3); AP is
     # exactly batch-size invariant (per-scene windows inside the jit)
     add('--eval_batch_size', type=int, default=4)
+    # rematerialize U-Net blocks in the backward (jax.checkpoint): ~1/3 more
+    # forward FLOPs for block-activation-free memory — REQUIRED for bs=8
+    # ScanNet-scale training on one 16GB chip (262MB over HBM without it).
+    # Parameter trees are identical, so checkpoints interchange freely.
+    add('--remat', default=False, action='store_true')
     add('--num_epochs', type=int, default=1500)
     add('--lr', type=float, default=1e-6)
     add('--optimizer', type=str, default='Adam')

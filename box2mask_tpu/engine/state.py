@@ -101,7 +101,8 @@ def build_model(cfg, num_classes, axis_name=None):
         mlp_bounds_relu=cfg.mlp_bounds_relu,
         axis_name=axis_name,
         compute_dtype=compute_dtype,
-        use_pallas=bool(use_pallas))
+        use_pallas=bool(use_pallas),
+        remat=bool(getattr(cfg, 'remat', False)))
 
 
 def init_variables(model, sample_batch, seed=0, train=False):

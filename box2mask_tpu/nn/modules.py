@@ -135,7 +135,13 @@ class BasicBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, nbr, valid, n_valid, train: bool):
+    def __call__(self, x, nbr, valid, n_valid, train: bool, nbr_static=None):
+        # nbr_static: the key_conv operand's 'static' tuple passed separately
+        # so nn.remat can mark it static (a tuple leaf inside the nbr pytree
+        # would be traced by jax.checkpoint); see nn/unet.py remat wiring
+        if nbr_static is not None:
+            nbr = dict(nbr)
+            nbr['static'] = nbr_static
         residual = x
         kv = nbr_kernel_volume(nbr)
         out = SparseConv(self.features, kv,

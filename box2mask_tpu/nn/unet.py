@@ -64,6 +64,12 @@ class SelectionNet(nn.Module):
     axis_name: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    # rematerialize each BasicBlock in the backward (jax.checkpoint): trades
+    # ~1/3 extra forward FLOPs for not storing the block-internal
+    # activations — what lets bs=8 ScanNet-scale training fit one chip's
+    # 16 GB HBM (measured 262 MB over without it). Parameter tree is
+    # IDENTICAL with/without, so checkpoints interchange freely.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
@@ -91,17 +97,34 @@ class SelectionNet(nn.Module):
                                 'd': 2}[kind]),
                               kind == 'd', 1 << l))
             if kind == 'd':           # backward = transpose-conv structure
-                op['up_parent'] = batch[f'up_parent{l}']
-                op['up_widx'] = batch[f'up_widx{l}']
+                if f'kcu_base{l}' in batch:
+                    # plan-based backward (key_conv_down_plan_train): the
+                    # stride_parent kernel over the up plans replaces the
+                    # einsum+gather transpose
+                    op['bases_u'] = batch[f'kcu_base{l}']
+                    op['counts_u'] = batch[f'kcu_cnt{l}']
+                else:
+                    op['up_parent'] = batch[f'up_parent{l}']
+                    op['up_widx'] = batch[f'up_widx{l}']
             return op
 
         def blocks(x, level, planes, stage):
             nbr = conv_operand(level, '3')
             v, n = batch[f'valid{level}'], batch[f'num{level}']
+            block_cls, nbr_arr, nbr_static = BasicBlock, nbr, None
+            if self.remat:
+                # self(0), x(1), nbr(2), valid(3), n_valid(4), train(5),
+                # nbr_static(6)
+                block_cls = nn.remat(BasicBlock, static_argnums=(5, 6))
+                if isinstance(nbr, dict) and 'static' in nbr:
+                    nbr_static = nbr['static']
+                    nbr_arr = {k: v2 for k, v2 in nbr.items()
+                               if k != 'static'}
             for i in range(self.layers):
-                x = BasicBlock(planes, axis_name=ax, compute_dtype=cd,
-                               use_pallas=up,
-                               name=f'{stage}_block{i}')(x, nbr, v, n, train)
+                x = block_cls(planes, axis_name=ax, compute_dtype=cd,
+                              use_pallas=up,
+                              name=f'{stage}_block{i}')(x, nbr_arr, v, n,
+                                                        train, nbr_static)
             return x
 
         # ---- stem (stride 1)

@@ -724,6 +724,52 @@ def _kcd_bwd(scale, window, tile, res, gout):
 key_conv_down_train.defvjp(_kcd_fwd, _kcd_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def key_conv_down_plan_train(x, keys_in_b, keys_out_col, bases, counts,
+                             bases_u, counts_u, w, scale=1, window=WINDOW):
+    """Differentiable stride-2 down conv whose backward runs the
+    stride_parent KERNEL over the up plans (kcu_base/cnt) instead of
+    ops.up_conv's einsum+gather — the einsum materializes a U*8*C f32
+    intermediate and row-gathers V rows at the slow XLA gather rate
+    (up L1->L0 measured 19.4 ms vs 5.1 windowed, round-4 journal), and it
+    sat on the TRAINING backward path of every down conv. Used when the
+    batch carries kcu plans; the up_parent/up_widx variant
+    (key_conv_down_train) remains for spatial sharding."""
+    return key_conv(x, keys_in_b, keys_out_col, bases, counts, w,
+                    kernel_size=2, stride_child=True, scale=scale,
+                    guard=False, window=window,
+                    interpret=jax.default_backend() != 'tpu')
+
+
+def _kcdp_fwd(x, keys_in_b, keys_out_col, bases, counts, bases_u, counts_u,
+              w, scale, window):
+    out = key_conv_down_plan_train(x, keys_in_b, keys_out_col, bases, counts,
+                                   bases_u, counts_u, w, scale, window)
+    return out, (x.astype(jnp.bfloat16), x[:1, :1], keys_in_b, keys_out_col,
+                 bases, counts, bases_u, counts_u, w)
+
+
+def _kcdp_bwd(scale, window, res, gout):
+    (x_bf, x_marker, keys_in_b, keys_out_col, bases, counts, bases_u,
+     counts_u, w) = res
+    interp = jax.default_backend() != 'tpu'
+    B = keys_in_b.shape[0]
+    coarse_b = keys_out_col.reshape(B, -1)
+    fine_col = keys_in_b.reshape(-1, 1)
+    dx = key_conv(gout, coarse_b, fine_col, bases_u, counts_u,
+                  jnp.transpose(w, (0, 2, 1)), kernel_size=2,
+                  stride_parent=True, scale=scale, guard=False,
+                  window=WINDOW_UP, interpret=interp)
+    dx = dx[:, :x_bf.shape[1]].astype(x_marker.dtype)
+    dw = key_conv_dw(x_bf, gout, keys_in_b, keys_out_col, bases, counts,
+                     kernel_size=2, stride_child=True, scale=scale,
+                     guard=False, window=window, interpret=interp)
+    return (dx, None, None, None, None, None, None, dw.astype(w.dtype))
+
+
+key_conv_down_plan_train.defvjp(_kcdp_fwd, _kcdp_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def key_conv_up_train(x, keys_coarse_b, keys_fine_col, bases_u, counts_u,
                       keys_fine_b, keys_coarse_col, bases_d, counts_d, w,

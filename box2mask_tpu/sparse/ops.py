@@ -91,6 +91,12 @@ def gather_conv(x, nbr, w, compute_dtype=jnp.bfloat16, unroll_threshold=9,
         from box2mask_tpu.sparse import key_conv as KC
         ksize, stride_child, scale = nbr['static']
         if stride_child:
+            if 'bases_u' in nbr:
+                # kernel backward over the up plans (no einsum+gather)
+                return KC.key_conv_down_plan_train(
+                    x, nbr['keys_in'], nbr['keys_out_col'], nbr['bases'],
+                    nbr['counts'], nbr['bases_u'], nbr['counts_u'], w,
+                    scale, KC.WINDOW)
             return KC.key_conv_down_train(
                 x, nbr['keys_in'], nbr['keys_out_col'], nbr['bases'],
                 nbr['counts'], nbr['up_parent'], nbr['up_widx'], w,

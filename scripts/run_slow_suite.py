@@ -26,6 +26,7 @@ TESTS = [
     'tests/test_trainer_multidevice.py::test_trainer_multidevice_epoch',
     'tests/test_device_maps.py::test_train_step_key_conv_path',
     'tests/test_e2e_cli.py::test_e2e_quality_value',
+    'tests/test_model_forward.py::test_remat_matches_plain',
 ]
 
 

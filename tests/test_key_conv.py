@@ -272,6 +272,70 @@ def test_down_train_grads_match():
                                rtol=0.05, atol=0.02 * ws)
 
 
+def test_down_plan_train_grads_match():
+    """key_conv_down_plan_train (stride_parent-kernel backward over the up
+    plans — the variant kc batches use) must match the up_parent/up_widx
+    variant in value and gradients."""
+    import jax
+
+    rng = np.random.default_rng(14)
+    pad, cin, cout = 256, 8, 8
+    ki, n = make_keys(rng, pad - 30, pad)
+    fine = ki[ki < SENT_KEY]
+    coarse = floor_keys(fine, 1)
+    ko = np.full(pad, int(SENT_KEY), np.int32)
+    ko[:len(coarse)] = coarse
+    nc = len(coarse)
+    keys64 = ki.astype(np.int64)
+    co64 = coarse.astype(np.int64)
+    m = np.int64(1)
+    parent_key = keys64[:n] & ~((m << 20) | (m << 10) | m)
+    par = np.full(pad, pad, np.int32)
+    par[:n] = np.searchsorted(co64, parent_key)
+    widx = np.zeros(pad, np.int32)
+    widx[:n] = (((keys64[:n] >> 20) & 1) * 4 + ((keys64[:n] >> 10) & 1) * 2
+                + (keys64[:n] & 1))
+    x = rng.normal(size=(pad, cin)).astype(np.float32)
+    x[n:] = 0
+    w = (rng.normal(size=(8, cin, cout)) * 0.1).astype(np.float32)
+
+    offs = KC.offsets_3d(2, stride_child=True)
+    dd = [KC.pack_delta(o) for o in offs]
+    du = [-d for d in dd]
+    groups = KC.group_by_dx(offs)
+    win = min(KC.WINDOW, pad)
+    b_d, c_d = KC._host_bases(ki, ko, dd, groups, win, pad)
+    win_u = min(KC.WINDOW_UP, pad)
+    b_u, c_u = KC._host_bases(ko, ki, du, groups, win_u, pad)
+
+    xj, wj = jnp.asarray(x), jnp.asarray(w)
+    tgt = jnp.asarray(rng.normal(size=(pad, cout)).astype(np.float32))
+    kb = jnp.asarray(ki[None])
+    kcol = jnp.asarray(ko.reshape(-1, 1))
+
+    def loss_old(x, w):
+        out = KC.key_conv_down_train(
+            x, kb, kcol, jnp.asarray(b_d[None]), jnp.asarray(c_d[None]),
+            jnp.asarray(par), jnp.asarray(widx), w, 1, win)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_plan(x, w):
+        out = KC.key_conv_down_plan_train(
+            x, kb, kcol, jnp.asarray(b_d[None]), jnp.asarray(c_d[None]),
+            jnp.asarray(b_u[None]), jnp.asarray(c_u[None]), w, 1, win)
+        return jnp.sum((out - tgt) ** 2)
+
+    v1, (gx1, gw1) = jax.value_and_grad(loss_old, argnums=(0, 1))(xj, wj)
+    v2, (gx2, gw2) = jax.value_and_grad(loss_plan, argnums=(0, 1))(xj, wj)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    s = np.abs(np.asarray(gx1)).max()
+    np.testing.assert_allclose(np.asarray(gx2)[:n], np.asarray(gx1)[:n],
+                               rtol=0.05, atol=0.02 * s)
+    ws = np.abs(np.asarray(gw1)).max()
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
+                               rtol=0.02, atol=0.01 * ws)
+
+
 def test_up_train_matches_up_conv():
     """key_conv_up_train (stride_parent transpose conv) must match
     ops.up_conv's einsum+gather in value AND gradients — it replaces it on

@@ -128,3 +128,39 @@ def test_supervision_labels_sane(setup):
     # fg segments must have strictly positive box bounds
     bnd = np.asarray(batch['gt_bb_bounds'])
     assert (bnd[fg] > 0).all()
+
+
+@pytest.mark.skipif(__import__('os').environ.get('B2M_SLOW_TESTS') != '1',
+                    reason='two full train-step compiles; '
+                           'scripts/run_slow_suite.py')
+def test_remat_matches_plain(setup):
+    """--remat (block rematerialization, nn/unet.py) must be a pure
+    memory/compute trade: identical parameter tree, identical loss, grads
+    equal up to f32 recompute reassociation. This is what lets bs=8
+    ScanNet-scale training fit one 16 GB chip (DESIGN.md round 4)."""
+    cfg, batch, host, model, variables = setup
+    cfg_r = make_cfg(['--remat'])
+    model_r = SelectionNet(num_classes=20, heads=tuple(cfg.network_heads),
+                           layers=cfg.layers, compute_dtype=jnp.float32,
+                           remat=True)
+    tx = S.make_optimizer(cfg)
+    s0 = S.init_state(cfg, model, tx, batch)
+    s1 = S.init_state(cfg_r, model_r, tx, batch)
+    for (p, a), (q, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s0.params),
+            jax.tree_util.tree_leaves_with_path(s1.params)):
+        assert str(p) == str(q)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    lr, one = jnp.float32(1e-3), jnp.float32(1.0)
+    step0 = S.make_train_step(cfg, model, tx, donate=False)
+    step1 = S.make_train_step(cfg_r, model_r, tx, donate=False)
+    n0, ld0 = step0(s0, batch, lr, one, one)
+    n1, ld1 = step1(s1, batch, lr, one, one)
+    np.testing.assert_allclose(float(ld0['optimization_loss']),
+                               float(ld1['optimization_loss']), rtol=1e-5)
+    # post-step params agree (Adam on near-identical grads)
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(n0.params),
+            jax.tree_util.tree_leaves_with_path(n1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5), str(p)
