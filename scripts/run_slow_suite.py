@@ -17,16 +17,21 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# (test id, extra env). The e2e quality-value test drives the real CLIs,
+# which run fine on the chip — on the 1-core forced-CPU mesh it takes >2h
+# (measured round 4), so it keeps the real backend via B2M_TPU_TESTS=1
+# (it uses no virtual mesh); everything else needs the 8-device CPU mesh.
 TESTS = [
-    'tests/test_spatial_unet.py::test_spatial_key_conv_forward_matches_single_device',
-    'tests/test_spatial_unet.py::test_spatial_key_conv_grads_match_single_device',
-    'tests/test_spatial_unet.py::test_spatial_grads_match_single_device',
-    'tests/test_spatial_unet.py::test_huge_scene_trains_sharded',
-    'tests/test_parallel.py::test_shard_map_train_step_runs_and_syncs',
-    'tests/test_trainer_multidevice.py::test_trainer_multidevice_epoch',
-    'tests/test_device_maps.py::test_train_step_key_conv_path',
-    'tests/test_e2e_cli.py::test_e2e_quality_value',
-    'tests/test_model_forward.py::test_remat_matches_plain',
+    ('tests/test_spatial_unet.py::test_spatial_key_conv_forward_matches_single_device', {}),
+    ('tests/test_spatial_unet.py::test_spatial_key_conv_grads_match_single_device', {}),
+    ('tests/test_spatial_unet.py::test_spatial_grads_match_single_device', {}),
+    ('tests/test_spatial_unet.py::test_huge_scene_trains_sharded', {}),
+    ('tests/test_parallel.py::test_shard_map_train_step_runs_and_syncs', {}),
+    ('tests/test_trainer_multidevice.py::test_trainer_multidevice_epoch', {}),
+    ('tests/test_device_maps.py::test_train_step_key_conv_path', {}),
+    ('tests/test_e2e_cli.py::test_e2e_quality_value',
+     {'B2M_TPU_TESTS': '1'}),
+    ('tests/test_model_forward.py::test_remat_matches_plain', {}),
 ]
 
 
@@ -34,11 +39,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument('--out', default=None)
     a = ap.parse_args(argv)
-    env = dict(os.environ, B2M_SLOW_TESTS='1')
     results = []
     ok_all = True
     t_total = time.time()
-    for tid in TESTS:
+    for tid, extra_env in TESTS:
+        env = dict(os.environ, B2M_SLOW_TESTS='1', **extra_env)
         t0 = time.time()
         p = subprocess.run([sys.executable, '-m', 'pytest', '-q', tid],
                            cwd=REPO, env=env, capture_output=True, text=True)

@@ -251,3 +251,23 @@ def test_plan_and_pooling_codecs_roundtrip():
         want = jax.device_get(jax.device_put(dev[k]))
         assert a.dtype == want.dtype, k
         np.testing.assert_array_equal(a, want, err_msg=k)
+
+
+def test_uploader_falls_back_to_raw_on_codec_cap():
+    """A batch whose key-delta exception count exceeds the signature cap
+    must NOT crash the uploader: the fallback chain ends at wire='raw'
+    (regression: the 2cm quality-gate scene hit 419 exceptions vs cap 224
+    and the old chain only disabled `derive`, round 4)."""
+    from box2mask_tpu.engine.hostload import BatchUploader
+    rng = np.random.default_rng(7)
+    pad = 8192                           # d16k applies at pad >= 8192
+    # every consecutive delta blows past u16 -> exceptions >> cap
+    keys = (np.arange(pad, dtype=np.int64) * (1 << 18)).astype(np.int32)
+    dev = {'keys0_b': keys[None], 'num_segments': np.int32(10),
+           'vox_features': rng.random((pad, 3)).astype(np.float32)}
+    up = BatchUploader(enable=True)
+    out = up(dev)
+    for k in dev:
+        np.testing.assert_array_equal(
+            np.asarray(out[k]), jax.device_get(jax.device_put(dev[k])),
+            err_msg=k)
