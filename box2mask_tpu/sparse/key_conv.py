@@ -47,11 +47,13 @@ TILE = 128          # output rows per grid step (overridable per call)
 WINDOW = 384        # input rows per window chunk (multiple of 128)
 # the one-hot gather matmul costs T*W*cin_pad per offset REGARDLESS of how
 # few lanes carry real channels, so narrow-input convs want the smallest
-# window their match spans allow (spills run exact blocking chunks):
-#   stem 5^3: per-(tile,offset) span p50=123/p90=153 at ScanNet 2cm
-#   (scripts round-4 span probe) -> 256 covers 96%;
-#   up transpose: <= T/2 parents per tile -> 128 covers nearly all
-WINDOW_STEM = 256
+# window whose BLOCKING spill chunks stay rare. Windows must be multiples
+# of 128 (Mosaic lane-slice alignment). Measured same-session interleaved
+# A/B at ScanNet 2cm (round 4): stem W=384 12.0 ms vs W=256 15.9 (30% of
+# (tile,group) windows spill to blocking chunks) vs W=128 14.2 — the
+# narrower window LOSES to chunk stalls, so the stem stays at 384. The up
+# transpose keeps 128: <= T/2 parents per tile, spills ~0%.
+WINDOW_STEM = 384
 WINDOW_UP = 128
 
 
