@@ -47,7 +47,8 @@ class Evaluater:
         (self.valid_class_ids, self.sem_id2idx, self.inst_id2idx,
          self.is_foreground) = get_tables(
             cfg.dataset_name if cfg.dataset_name != 'synthetic' else 'scannet')
-        self.model = model or S.build_model(cfg, len(self.valid_class_ids))
+        self.model = model or S.build_model(cfg, len(self.valid_class_ids),
+                                            remat=False)
         self.state = state
         self._forward = S.make_forward(cfg, self.model)
         self.ckpt_name = 'untrained'
@@ -58,7 +59,8 @@ class Evaluater:
     def _ensure_state(self, sample_batch):
         if self.state is None:
             tx = S.make_optimizer(self.cfg)
-            init_model = S.build_model(self.cfg, len(self.valid_class_ids))
+            init_model = S.build_model(self.cfg, len(self.valid_class_ids),
+                                       remat=False)
             self.state = S.init_state(self.cfg, init_model, tx, sample_batch)
         if self._needs_restore:
             path = ckpt.find_checkpoint(self.cfg.checkpoint_path,
@@ -239,7 +241,7 @@ class Evaluater:
         loader = dataset.get_loader(shuffle=False, drop_last=False,
                                     batch_size=1)
         results, entries = {}, []
-        fwd = None
+        fwds = {}
         for dev_np, host in loader:
             dev_j = {k: jnp.asarray(v) for k, v in dev_np.items()}
             if self.state is None or self._needs_restore:
@@ -248,8 +250,15 @@ class Evaluater:
                 self.results_path = os.path.join(self.cfg.exp_path, 'results',
                                                  self.ckpt_name)
                 os.makedirs(self.results_path, exist_ok=True)
-            if fwd is None:
-                fwd = SP.make_spatial_apply(mesh, model, dev_np, train=False)
+            # the compiled fwd (and its shard_map in_specs) is specialized on
+            # the batch's key set: scenes past the 10-bit key packing skip
+            # sp_kc*/sp_ext* plan emission (parallel/spatial.py) and must not
+            # reuse a fwd traced from a plan-carrying batch (advisor round 4)
+            sig = tuple(sorted(dev_np))
+            if sig not in fwds:
+                fwds[sig] = SP.make_spatial_apply(mesh, model, dev_np,
+                                                  train=False)
+            fwd = fwds[sig]
             pred = fwd({'params': self.state.params,
                         'batch_stats': self.state.batch_stats}, dev_j)
             # pseudo single-scene flat batch over the PERMUTED voxel axis for
@@ -372,8 +381,15 @@ class Evaluater:
     # ------------------------------------------------------------------ eval
     def eval(self, dataset, write_to_tb=None):
         if (getattr(self.cfg, 'spatial_shards', 0) > 1
-                and self.cfg.dataset_name in ('scannet', 'synthetic')):
+                and self.cfg.dataset_name in ('scannet', 'synthetic',
+                                              'arkitscenes')):
+            # arkitscenes is the motivating huge-scene dataset for spatial
+            # sharding: spatial_dataset_results returns the same
+            # (results, light_entries) pair its protocol consumes
+            # (advisor round 4)
             results, entries = self.spatial_dataset_results(dataset)
+            if self.cfg.dataset_name == 'arkitscenes':
+                return self.arkitscenes_eval(results, entries)
             return self.scannet_eval(results, entries,
                                      write_to_tb=write_to_tb)
         if self._use_fused(dataset):

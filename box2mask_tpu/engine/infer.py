@@ -60,7 +60,8 @@ class FusedInferencePipeline:
         self.cfg = cfg
         self.valid_class_ids = valid_class_ids
         self.is_foreground = is_foreground
-        self.model = model or S.build_model(cfg, len(valid_class_ids))
+        self.model = model or S.build_model(cfg, len(valid_class_ids),
+                                            remat=False)
         self.top_k = top_k
         self.max_masks = max_masks
         self.depth = depth

@@ -85,10 +85,16 @@ def make_optimizer(cfg):
     return opt
 
 
-def build_model(cfg, num_classes, axis_name=None):
+def build_model(cfg, num_classes, axis_name=None, remat=None):
+    """remat=None follows cfg.remat (training); inference callers pass
+    remat=False — checkpointing only matters under backward, and keeping it
+    out of the eval trace keeps the compiled-program cache identical across
+    train-time and inference-only configs."""
     import jax.numpy as jnp
     compute_dtype = {'bfloat16': jnp.bfloat16, 'float32': jnp.float32}[
         cfg.compute_dtype]
+    if remat is None:
+        remat = bool(getattr(cfg, 'remat', False))
     # pallas kernel currently ~matches the XLA gather path on v5e; keep it
     # opt-in ('on') until it wins (auto == off for now)
     use_pallas = getattr(cfg, 'pallas_conv', 'auto') == 'on'
@@ -102,7 +108,7 @@ def build_model(cfg, num_classes, axis_name=None):
         axis_name=axis_name,
         compute_dtype=compute_dtype,
         use_pallas=bool(use_pallas),
-        remat=bool(getattr(cfg, 'remat', False)))
+        remat=bool(remat))
 
 
 def init_variables(model, sample_batch, seed=0, train=False):

@@ -109,6 +109,27 @@ class Trainer:
         if self.state is not None:
             return
         cfg = self.cfg
+        # first-real-batch half of the auto-remat policy (config.needs_remat
+        # docstring): the shipped ScanNet config (bs=8, ~120k rows/scene)
+        # must run as shipped on one 16 GB chip — flip remat from the actual
+        # padded row count, which get_config cannot know for configs that
+        # leave vox_bucket at the small rounding quantum
+        if not self.spatial and not cfg.remat and not cfg.no_auto_remat:
+            from box2mask_tpu.config import needs_remat
+            flat = sample_batch
+            if isinstance(flat, (list, tuple)):
+                flat = flat[0]
+            rows = next((int(np.size(flat[k])) for k in ('valid0', 'batch0')
+                         if k in flat), 0)
+            if rows and needs_remat(rows // max(1, self.n_devices)):
+                cfg.remat = True
+                cfg.remat_auto = True
+                self.model = S.build_model(cfg, self.num_classes,
+                                           axis_name=M.AXIS
+                                           if self.n_devices > 1 else None)
+                print(f'auto-remat: {rows} padded rows/step does not fit '
+                      '16 GB HBM without block remat (--no_auto_remat to '
+                      'override)')
         if self.spatial:
             from box2mask_tpu.parallel import spatial as SP
             import numpy as np

@@ -193,7 +193,11 @@ def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
                     ok = ok & ((yf + dy >= 0) & (yf + dy < AXIS_MAX))
                 if dz != 0:
                     ok = ok & ((zf + dz >= 0) & (zf + dz < AXIS_MAX))
-            qm = jnp.where(ok, q, -1)                        # (T, 1)
+            # q >= 0 guard: unguarded stride_parent queries go NEGATIVE at
+            # scene boundaries (q = fine_key - delta) and must never hit the
+            # -2 masked-lane sentinel above — real window keys are all >= 0,
+            # so -1 matches nothing (advisor round 4)
+            qm = jnp.where(ok & (q >= 0), q, -1)                        # (T, 1)
             oh = jnp.where(wk == qm, jnp.float32(1),
                            jnp.float32(0)).astype(jnp.bfloat16)
             gath = jnp.dot(oh, wx, preferred_element_type=jnp.float32)
@@ -419,18 +423,16 @@ def host_conv_plans(keys_levels, vox_bucket=4096, stem_kernel=5):
 def _dw_kernel(bases_ref, counts_ref, keys_col_ref, g_ref, x_hbm, keys_hbm,
                dw_ref, win_x, win_k, sem_x, sem_k, *,
                groups, deltas, offs, cin, cout, window, pad, tiles,
-               scale, guard, tile, dbuf=True):
+               scale, guard, tile):
     """dw[k] += (onehot_k @ win_x)^T @ g_tile, accumulated over the grid
     (same windows as the forward; the output block revisits every step).
     Cross-tile double buffering mirrors _kernel: tile flat's chunk-0 windows
     were prefetched into slot flat%2 by the previous grid step.
 
-    dbuf=False: single window buffer with blocking chunk-0 DMAs — used when
-    the (K, cin, cout) f32 output block alone nears the 16 MB scoped-VMEM
-    limit (27x512x256 dec-block sites = 14.2 MB; the 2-slot windows pushed
-    the total 9 KB over — measured compile failure, round 4). Those sites
-    sit at tiny deep levels, so losing the cross-tile prefetch there is
-    noise."""
+    Sites whose (K, cin, cout) f32 output block would bust the 16 MB
+    scoped-VMEM limit next to the 2-slot windows (27x512x256 dec blocks =
+    16.48 MB total, measured compile failure round 4) never reach this
+    kernel whole: key_conv_dw splits them per dx-group below."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     flat = b * tiles + t
@@ -471,16 +473,15 @@ def _dw_kernel(bases_ref, counts_ref, keys_col_ref, g_ref, x_hbm, keys_hbm,
                 cpx.start()
                 cpk.start()
 
-    slot = flat % 2 if dbuf else 0
+    slot = flat % 2
 
-    if dbuf:
-        @pl.when(flat == 0)
-        def _first():
-            issue(flat, slot)
+    @pl.when(flat == 0)
+    def _first():
+        issue(flat, slot)
 
-        @pl.when(flat + 1 < total)
-        def _next():
-            issue(flat + 1, 1 - slot)
+    @pl.when(flat + 1 < total)
+    def _next():
+        issue(flat + 1, 1 - slot)
 
     def accum(g, shift, slot):
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
@@ -497,7 +498,11 @@ def _dw_kernel(bases_ref, counts_ref, keys_col_ref, g_ref, x_hbm, keys_hbm,
                     ok = ok & ((yf + dy >= 0) & (yf + dy < AXIS_MAX))
                 if dz != 0:
                     ok = ok & ((zf + dz >= 0) & (zf + dz < AXIS_MAX))
-            qm = jnp.where(ok, q, -1)
+            # q >= 0 guard: unguarded stride_parent queries go NEGATIVE at
+            # scene boundaries (q = fine_key - delta) and must never hit the
+            # -2 masked-lane sentinel above — real window keys are all >= 0,
+            # so -1 matches nothing (advisor round 4)
+            qm = jnp.where(ok & (q >= 0), q, -1)
             oh = jnp.where(wk == qm, jnp.float32(1),
                            jnp.float32(0)).astype(jnp.bfloat16)
             gath = jnp.dot(oh, wx, preferred_element_type=jnp.float32)
@@ -511,9 +516,6 @@ def _dw_kernel(bases_ref, counts_ref, keys_col_ref, g_ref, x_hbm, keys_hbm,
         shift0, cpx, cpk = dma_pair(flat, g, 0, slot)
 
         def do_group(g=g, shift0=shift0, cpx=cpx, cpk=cpk):
-            if not dbuf:              # no cross-tile prefetch: blocking DMA
-                cpx.start()
-                cpk.start()
             cpk.wait()
             cpx.wait()
             accum(g, shift0, slot)

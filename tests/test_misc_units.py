@@ -102,6 +102,41 @@ def test_config_validation_errors():
         get_config(['--network_heads', 'mlp_semantics'])
 
 
+def test_config_auto_remat_policy():
+    """The shipped ScanNet operating point (bs=8 x ~131k rows) must run as
+    shipped on a 16 GB chip (round-4 verdict #3): get_config auto-enables
+    block remat when batch_size x vox_bucket says the step cannot fit, and
+    Trainer._ensure_state re-applies the same needs_remat rule to the first
+    real batch's padded rows (covers configs that leave vox_bucket at the
+    small rounding quantum — e.g. configs/scannet.txt)."""
+    import os
+    from box2mask_tpu.config import needs_remat
+    assert needs_remat(8 * 131072)          # the shipped ScanNet step
+    assert not needs_remat(4 * 131072)      # bs=4 fits without remat
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = get_config(['--config', os.path.join(repo, 'configs/scannet.txt'),
+                      '--vox_bucket', '131072'])
+    assert cfg.batch_size == 8
+    assert cfg.remat and getattr(cfg, 'remat_auto', False)
+    # escape hatch
+    cfg2 = get_config(['--config', os.path.join(repo, 'configs/scannet.txt'),
+                       '--vox_bucket', '131072', '--no_auto_remat'])
+    assert not cfg2.remat
+    # default bs=4 stays remat-free (fits HBM; inference programs unchanged)
+    cfg3 = get_config(['--vox_bucket', '131072'])
+    assert not cfg3.remat
+
+
+def test_config_fused_eval_layout_validated_at_parse_time():
+    """--eval_batch_size > 1 without the key_conv layout must fail at
+    get_config with a clear message, not mid-eval (round-4 verdict #9)."""
+    with pytest.raises(ValueError, match='key_conv'):
+        get_config(['--key_conv', 'off', '--eval_batch_size', '4'])
+    # defaulted eval_batch_size is silently clamped to the compatible value
+    cfg = get_config(['--key_conv', 'off'])
+    assert cfg.eval_batch_size == 1
+
+
 def test_html_viewer_bundle(tmp_path):
     """viewer.html: self-contained interactive bundle (pyviz3d equivalent) —
     embedded buffers must decode to the layer set the reference saves
