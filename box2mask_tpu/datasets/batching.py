@@ -206,18 +206,12 @@ def _build_batch_small(rets, cfg, sem_id2idx, mode, level_pads=None,
             for i in range(B)]
         for k in per_scene_plans[0]:
             dev[k] = np.stack([p[k] for p in per_scene_plans])
-        for l in range(NUM_LEVELS - 1):
-            # parent key = floor bit l of every field (levels keep floored
-            # original-scale coords); every parent exists by construction
-            m = np.int64((1 << (l + 1)) - 1)
-            mask = ~((m << 20) | (m << 10) | m)
-            par = np.full((B, pads[l]), B * pads[l + 1], np.int32)
-            for i in range(B):
-                fine = keys_per_scene[i][l].astype(np.int64)
-                coarse = keys_per_scene[i][l + 1]
-                pos = np.searchsorted(coarse, fine & mask)
-                par[i, :len(fine)] = pos + i * pads[l + 1]
-            dev[f'up_parent{l}'] = par.reshape(-1)
+        # NO up_parent{l} on the kc wire (round-4 verdict #5, ~0.25 MB/scene
+        # = 15% of the wire): the up transpose rides the stride_parent
+        # kernel over the kcu plans, the down-conv backward rides the same
+        # plans (key_conv_down_plan_train), and up_widx derives in-jit from
+        # the key bits (engine/state.ensure_maps). The nmap path derives its
+        # own on device; spatial sharding ships sp_kcd_par separately.
 
     def interleave(key, ncols=None, fill=0, dtype=None):
         a0 = np.asarray(rets[0][key])

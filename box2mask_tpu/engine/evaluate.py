@@ -134,13 +134,16 @@ class Evaluater:
 
     # --------------------------------------------------- fused product path
     def _use_fused(self, dataset):
-        """ScanNet/synthetic/ARKit eval runs the fused stacked pipeline
-        (engine/infer.py) — identical code path to bench.py. S3DIS needs the
-        raw per-vox semantics head (s3dis_eval) and spatial sharding has its
-        own forward, so both keep the entry path."""
-        return (_fused_eval_enabled(self.cfg)
-                and self.cfg.dataset_name in ('scannet', 'synthetic',
-                                              'arkitscenes')
+        """Every dataset's eval runs the fused stacked pipeline
+        (engine/infer.py) — identical code path to bench.py. S3DIS rides it
+        when the per-vox semantics head it consumes is configured (the u8
+        `vox_sem` plane in the stacked readback, round-4 verdict #4);
+        spatial sharding keeps its own forward."""
+        ok = self.cfg.dataset_name in ('scannet', 'synthetic', 'arkitscenes')
+        if (self.cfg.dataset_name == 's3dis'
+                and self.cfg.mlp_per_vox_semantics in self.cfg.network_heads):
+            ok = True
+        return (_fused_eval_enabled(self.cfg) and ok
                 and getattr(self.cfg, 'spatial_shards', 0) <= 1)
 
     def fused_dataset_results(self, dataset, ths=None, cache=True):
@@ -158,6 +161,7 @@ class Evaluater:
         bs = max(1, int(getattr(self.cfg, 'eval_batch_size', 1) or 1))
         path = self._predictions_cache_path(bs, dataset)[:-4] \
             + '_fused_' + '_'.join(str(t) for t in ths) + '.pkl'
+        self._vox_sem = {}      # scene -> u8 per-vox semantics (s3dis eval)
         if cache and os.path.exists(path):
             print(f'Reusing cached fused readbacks: {path}')
             with open(path, 'rb') as f:
@@ -170,6 +174,7 @@ class Evaluater:
                     out_np, None, host, self.valid_class_ids, mode='eval'))
                 results.update(overflow_results)   # fallback-resolved scenes
                 entries.append((None, None, host))
+                self._collect_vox_sem(out_np, host)
             return results, entries
 
         if not hasattr(self, '_fused_pipe'):
@@ -188,6 +193,7 @@ class Evaluater:
                 '--eval_batch_size 1 or a larger --voxel_size')
             results.update(batch_results)
             entries.append((None, None, host))
+            self._collect_vox_sem(out_np, host)
             print(f'predicted {[s["name"] for s in host["scene"]]}')
             if cache:
                 overflow = {}
@@ -202,6 +208,15 @@ class Evaluater:
             with open(path, 'wb') as f:
                 pickle.dump(to_cache, f)
         return results, entries
+
+    def _collect_vox_sem(self, out_np, host):
+        """Harvest the per-scene u8 per-vox semantics plane from a stacked
+        fused readback (present iff the per-vox head is configured);
+        s3dis_eval_fused consumes it."""
+        if 'vox_sem' not in out_np:
+            return
+        for si, s in enumerate(host['scene']):
+            self._vox_sem[s['name']] = np.asarray(out_np['vox_sem'][si])
 
     # ------------------------------------------------- sharded (spatial) eval
     def spatial_dataset_results(self, dataset):
@@ -399,6 +414,8 @@ class Evaluater:
             results, entries = self.fused_dataset_results(dataset)
             if self.cfg.dataset_name == 'arkitscenes':
                 return self.arkitscenes_eval(results, entries)
+            if self.cfg.dataset_name == 's3dis':
+                return self.s3dis_eval_fused(results, entries)
             return self.scannet_eval(results, entries,
                                      write_to_tb=write_to_tb)
         entries = self.load_or_predict(dataset)
@@ -529,9 +546,10 @@ class Evaluater:
 
     # ------------------------------------------------------------ S3DIS eval
     def s3dis_eval(self, entries):
-        from box2mask_tpu.postprocess.s3dis_background import (
-            clustering_for_background, assign_semantics_to_proposals)
-        gt_labels, pred_labels = [], []
+        """Legacy raw-pred entry point: per-vox semantics from the full head
+        output. The fused path (s3dis_eval_fused) gets the argmax from the
+        stacked readback instead."""
+        per_scene = []
         for pred, dev, host in entries:
             results = detection_to_masks(pred, dev, host, self.cfg,
                                          self.valid_class_ids,
@@ -543,63 +561,85 @@ class Evaluater:
                 vox_sem = np.argmax(
                     np.asarray(pred[self.cfg.mlp_per_vox_semantics]), 1)
                 vox_sem = vox_sem[vox_batch]
-                vox2point = host['vox2point'][si]
-                pred_sem = vox_sem[vox2point]
+                pred_sem = vox_sem[host['vox2point'][si]]
+                per_scene.append((scene, labels, pred_sem,
+                                  results[name]['mask'], name))
+        return self._s3dis_protocol(per_scene)
 
-                bg_inst = clustering_for_background(
-                    pred_sem, scene['positions'], scene['normals'])
-                masks = results[name]['mask']
-                prop_sem = assign_semantics_to_proposals(pred_sem, masks)
+    def s3dis_eval_fused(self, results, entries):
+        """Fused product-path S3DIS eval (round-4 verdict #4): masks from the
+        stacked readback results, per-vox semantics from the u8 `vox_sem`
+        plane fused_dataset_results collected (reference consumes the same
+        head, evaluation.py:145-164)."""
+        per_scene = []
+        for _, _, host in entries:
+            for si, (scene, labels) in enumerate(zip(host['scene'],
+                                                     host['labels'])):
+                name = scene['name']
+                vox_sem = self._vox_sem[name].astype(np.int64)
+                pred_sem = vox_sem[host['vox2point'][si]]
+                per_scene.append((scene, labels, pred_sem,
+                                  results[name]['mask'], name))
+        return self._s3dis_protocol(per_scene)
 
-                pred_inst = np.full_like(labels['instances'], -1)
-                final_sem = pred_sem.copy()
-                for idx, mask in enumerate(masks):
-                    if prop_sem[idx] < 3:      # bg classes handled separately
-                        continue
-                    mask = np.asarray(mask) > 0
-                    orig = mask.sum()
-                    mask = mask & (pred_inst < 0)
-                    kept = mask.sum()
-                    if orig == 0 or kept / orig < 0.6 or kept < 200:
-                        continue
-                    pred_inst[mask] = idx + 1
-                    final_sem[mask] = prop_sem[idx]
+    def _s3dis_protocol(self, per_scene):
+        from box2mask_tpu.postprocess.s3dis_background import (
+            clustering_for_background, assign_semantics_to_proposals)
+        gt_labels, pred_labels = [], []
+        for scene, labels, pred_sem, masks, name in per_scene:
+            bg_inst = clustering_for_background(
+                pred_sem, scene['positions'], scene['normals'])
+            prop_sem = assign_semantics_to_proposals(pred_sem, masks)
 
-                max_id = pred_inst.max()
-                bg = bg_inst > 0
-                pred_inst[bg] = bg_inst[bg] + max_id
-                # suppress per-class small fragments (<200 points)
-                for class_id in range(13):
-                    cm = pred_sem == class_id
-                    ids, cnts = np.unique(pred_inst[cm], return_counts=True)
-                    small = np.isin(pred_inst[cm], ids[cnts < 200])
-                    tmp = pred_inst[cm]
-                    tmp[small] = -1
-                    pred_inst[cm] = tmp
-
-                if self.cfg.full_resolution:
-                    # upsample predictions to the full point cloud by 1-NN
-                    # against the sampled positions (reference
-                    # evaluation.py:151-154,216-222 get_sparse2dense)
-                    import copy as _copy
-                    from scipy.spatial import cKDTree
-                    from box2mask_tpu.datasets import s3dis as s3dis_reader
-                    full_cfg = _copy.copy(self.cfg)
-                    full_cfg.point_sampling_rate = None
-                    scene_full, labels_full = s3dis_reader.process_scene(
-                        name, 'val', full_cfg, do_augmentations=False)
-                    tree = cKDTree(scene['positions'])
-                    _, sparse2dense = tree.query(scene_full['positions'], k=1)
-                    gt_labels.append({'semantics': labels_full['semantics'],
-                                      'instances': labels_full['instances']})
-                    pred_labels.append(
-                        {'semantics': pred_sem[sparse2dense],
-                         'instances': pred_inst[sparse2dense]})
+            pred_inst = np.full_like(labels['instances'], -1)
+            final_sem = pred_sem.copy()
+            for idx, mask in enumerate(masks):
+                if prop_sem[idx] < 3:      # bg classes handled separately
                     continue
-                gt_labels.append({'semantics': labels['semantics'],
-                                  'instances': labels['instances']})
-                pred_labels.append({'semantics': pred_sem,
-                                    'instances': pred_inst})
+                mask = np.asarray(mask) > 0
+                orig = mask.sum()
+                mask = mask & (pred_inst < 0)
+                kept = mask.sum()
+                if orig == 0 or kept / orig < 0.6 or kept < 200:
+                    continue
+                pred_inst[mask] = idx + 1
+                final_sem[mask] = prop_sem[idx]
+
+            max_id = pred_inst.max()
+            bg = bg_inst > 0
+            pred_inst[bg] = bg_inst[bg] + max_id
+            # suppress per-class small fragments (<200 points)
+            for class_id in range(13):
+                cm = pred_sem == class_id
+                ids, cnts = np.unique(pred_inst[cm], return_counts=True)
+                small = np.isin(pred_inst[cm], ids[cnts < 200])
+                tmp = pred_inst[cm]
+                tmp[small] = -1
+                pred_inst[cm] = tmp
+
+            if self.cfg.full_resolution:
+                # upsample predictions to the full point cloud by 1-NN
+                # against the sampled positions (reference
+                # evaluation.py:151-154,216-222 get_sparse2dense)
+                import copy as _copy
+                from scipy.spatial import cKDTree
+                from box2mask_tpu.datasets import s3dis as s3dis_reader
+                full_cfg = _copy.copy(self.cfg)
+                full_cfg.point_sampling_rate = None
+                scene_full, labels_full = s3dis_reader.process_scene(
+                    name, 'val', full_cfg, do_augmentations=False)
+                tree = cKDTree(scene['positions'])
+                _, sparse2dense = tree.query(scene_full['positions'], k=1)
+                gt_labels.append({'semantics': labels_full['semantics'],
+                                  'instances': labels_full['instances']})
+                pred_labels.append(
+                    {'semantics': pred_sem[sparse2dense],
+                     'instances': pred_inst[sparse2dense]})
+                continue
+            gt_labels.append({'semantics': labels['semantics'],
+                              'instances': labels['instances']})
+            pred_labels.append({'semantics': pred_sem,
+                                'instances': pred_inst})
 
         out = s3dis_metrics.evaluate_s3dis(pred_labels, gt_labels)
         print('mean Precision', out['mPrecision'])

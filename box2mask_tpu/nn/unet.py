@@ -165,7 +165,8 @@ class SelectionNet(nn.Module):
             x = SparseConvTranspose(DEC_PLANES[i], compute_dtype=cd,
                                     use_pallas=up,
                                     name=f'up{l}_tr')(
-                x, batch[f'up_parent{l}'], batch[f'up_widx{l}'], kc=kc_up)
+                x, batch.get(f'up_parent{l}'), batch.get(f'up_widx{l}'),
+                kc=kc_up)           # kc batches ship no up_parent (wire win)
             x = bn(f'up{l}_bn')(x, batch[f'valid{l}'], batch[f'num{l}'], train)
             x = nn.relu(x)
             x = jnp.concatenate([x, skips[l]], axis=-1)

@@ -240,6 +240,13 @@ def make_fused_infer(cfg, model, valid_class_ids, is_foreground,
             o['conf'] = o['conf'][:top_k]
             o['label_idx'] = o['label_idx'][:top_k]
             o['topk_overflow'] = o['n_keep'] > top_k
+            hv = getattr(cfg, 'mlp_per_vox_semantics',
+                         'mlp_per_vox_semantics')
+            if hv in pred:
+                # per-vox semantics argmax rides the stacked readback as u8
+                # (s3dis eval consumes it; reference evaluation.py:145-164)
+                o['vox_sem'] = jnp.argmax(
+                    pred[hv][b * vs:(b + 1) * vs], axis=1).astype(jnp.uint8)
             outs.append(o)
         out = {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
         return pred, out

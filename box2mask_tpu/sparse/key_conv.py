@@ -349,6 +349,281 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
     return out[:, :w.shape[2]]
 
 
+# ------------------------------------------------------------ stem fast path
+def _stem_kernel(bases_ref, counts_ref, keys_row_ref, w_ref, x_hbm, keys_hbm,
+                 out_ref, im2_ref, win_x, win_k, sem_x, sem_k, *,
+                 cin, window, pad, tiles, tile, rows_pc, R):
+    """Search+gather 5^3 stem conv (cin <= 8, level 0, scale 1).
+
+    The one-hot formulation burns T*W*128 MXU flops PER OFFSET regardless of
+    how few lanes carry real channels — at cin=3 that is 42x padding waste
+    x125 offsets, ~50 ms of the ~210 ms 4-scene batch wall (round-4
+    profile_levels). This kernel replaces all 125 padded matmuls with VPU
+    work that scales with what is actually gathered:
+
+      per (tile, dx-group): ONE vectorized binary search per dy-column over
+      the window's sorted keys (queries qb = key + delta(dx, dy, -2), five
+      dy's in parallel on the 8 sublanes), then 5 probe rows lo..lo+4 —
+      the dz in [-2,2] neighbors of a column are CONTIGUOUS among existing
+      keys, so the first five keys >= qb cover every possible hit — with
+      Mosaic lane-gathers (tpu dynamic_gather: lane dim only, 128 lanes per
+      chunk) pulling the matched rows' features straight into a per-tile
+      im2col^T scratch. One dense (R x T)^T @ (R x Cout) matmul finishes the
+      conv: ~125x fewer MXU flops, VPU cost ~2k register-ops per tile.
+
+    im2col^T row layout (must match the weight scatter in key_conv_stem):
+      row(c, g, m, dy) = c*rows_pc + g*40 + m*8 + (dy+2)
+    (dy slots padded 5->8 so every store is a native-aligned (8,128) f32
+    block; the 3 junk sublanes and the R tail carry zero weights).
+
+    Chunked windows: probes clamp to the window end and compare BY VALUE, so
+    a row found in two overlapping chunks merges idempotently (same value) —
+    unlike the accumulating one-hot kernel, no shift masking is needed. The
+    unguarded tail of the binary search may overshoot past-the-end queries
+    by one (lo = W+1); harmless for the same reason.
+
+    Replaces the reference's conv0 MinkowskiConvolution(kernel 5)
+    (models/detection_net.py:37,234-337) at the stem site only."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    flat = b * tiles + t
+    total = pl.num_programs(0) * tiles
+    G = 5
+    nch = window // 128
+    iters = int(np.ceil(np.log2(window))) if window > 1 else 1
+
+    qk = jnp.broadcast_to(keys_row_ref[...], (8, tile))      # (8, T) int32
+    valid = qk < SENT_KEY
+    xf = jax.lax.shift_right_logical(qk, 2 * AXIS_BITS)
+    yf = jax.lax.shift_right_logical(qk, AXIS_BITS) & (AXIS_MAX - 1)
+    zf = qk & (AXIS_MAX - 1)
+    dy_s = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0) - 2
+    yq = yf + dy_s
+    ok_dy = (yq >= 0) & (yq < AXIS_MAX) & (dy_s <= 2)        # junk sublanes off
+    okz = []
+    for m in range(5):
+        zq = zf + (m - 2)
+        okz.append((zq >= 0) & (zq < AXIS_MAX))
+
+    def dma_pair(flat_idx, g, chunk, slot):
+        su = bases_ref[flat_idx * G + g] + chunk * window
+        start = pl.multiple_of(jnp.minimum(su, pad - window), 128)
+        bq = flat_idx // tiles
+        cpx = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(bq * pad + start, window)],
+            win_x.at[g, slot], sem_x.at[g, slot])
+        cpk = pltpu.make_async_copy(
+            keys_hbm.at[pl.ds(0, 1), pl.ds(bq * pad + start, window)],
+            win_k.at[g, slot], sem_k.at[g, slot])
+        return cpx, cpk
+
+    def issue(flat_idx, slot):
+        for g in range(G):
+            cpx, cpk = dma_pair(flat_idx, g, 0, slot)
+
+            @pl.when(counts_ref[flat_idx * G + g] > 0)
+            def _(cpx=cpx, cpk=cpk):
+                cpx.start()
+                cpk.start()
+
+    # cross-tile double buffering (see _kernel): this tile's chunk-0 windows
+    # were prefetched into slot flat%2 by the previous grid step
+    slot = flat % 2
+
+    @pl.when(flat == 0)
+    def _first():
+        issue(flat, slot)
+
+    @pl.when(flat + 1 < total)
+    def _next():
+        issue(flat + 1, 1 - slot)
+
+    if R > cin * rows_pc:
+        @pl.when(flat == 0)
+        def _zero_tail():
+            # rows >= cin*rows_pc are never stored; their weights are zero
+            # but the scratch must not hold NaNs (0 * NaN = NaN)
+            im2_ref[cin * rows_pc:, :] = jnp.zeros(
+                (R - cin * rows_pc, tile), jnp.float32)
+
+    def compute(g, slot, vals):
+        """Search + probe + gather this (group, chunk) window into vals."""
+        dx = g - 2
+        dK = dx * (1 << (2 * AXIS_BITS))
+        xq = xf + dx
+        ok_g = valid & ok_dy & (xq >= 0) & (xq < AXIS_MAX)
+        qb = qk + dK + dy_s * AXIS_MAX - 2          # column base (z-2) query
+        wk = win_k[g, slot, :, :]                   # (1, window)
+        wkc = [jnp.broadcast_to(wk[:, 128 * j:128 * (j + 1)], (8, tile))
+               for j in range(nch)]
+        wx = win_x[g, slot, :, :]                   # (8, window) f32
+        wxc = [[jnp.broadcast_to(wx[c:c + 1, 128 * j:128 * (j + 1)],
+                                 (8, tile)) for j in range(nch)]
+               for c in range(cin)]
+
+        def gat(srcs, pos):
+            out = None
+            for j in range(nch):
+                lj = jnp.clip(pos - 128 * j, 0, 127)
+                gj = jnp.take_along_axis(srcs[j], lj, axis=1)
+                out = gj if out is None else jnp.where(pos >= 128 * j, gj,
+                                                       out)
+            return out
+
+        lo = jnp.zeros((8, tile), jnp.int32)
+        hi = jnp.full((8, tile), window, jnp.int32)
+        for _ in range(iters):
+            mid = (lo + hi) >> 1
+            pred = gat(wkc, mid) < qb
+            lo = jnp.where(pred, mid + 1, lo)
+            hi = jnp.where(pred, hi, mid)
+        for j in range(5):
+            pos = jnp.minimum(lo + j, window - 1)
+            kj = gat(wkc, pos)
+            fj = [gat(wxc[c], pos) for c in range(cin)]
+            for m in range(5):
+                hit = ok_g & okz[m] & (kj == qb + m)
+                for c in range(cin):
+                    vals[m * cin + c] = jnp.where(hit, fj[c],
+                                                  vals[m * cin + c])
+        return vals
+
+    for g in range(G):
+        cnt = counts_ref[flat * G + g]
+        cpx, cpk = dma_pair(flat, g, 0, slot)
+        zero = [jnp.zeros((8, tile), jnp.float32) for _ in range(5 * cin)]
+
+        def do_group(vals, g=g, cpx=cpx, cpk=cpk):
+            cpk.wait()
+            cpx.wait()
+            vals = compute(g, slot, vals)
+
+            def chunk_body(c, vals, g=g):
+                cpx2, cpk2 = dma_pair(flat, g, c, slot)
+                cpx2.start()
+                cpk2.start()
+                cpk2.wait()
+                cpx2.wait()
+                return tuple(compute(g, slot, list(vals)))
+
+            return list(jax.lax.fori_loop(1, cnt, chunk_body, tuple(vals)))
+
+        vals = jax.lax.cond(cnt > 0, do_group, lambda v: v, zero)
+        for m in range(5):
+            for c in range(cin):
+                r0 = c * rows_pc + g * 40 + m * 8
+                im2_ref[r0:r0 + 8, :] = vals[m * cin + c]
+
+    out_ref[...] = jax.lax.dot_general(
+        im2_ref[...].astype(jnp.bfloat16), w_ref[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=('window', 'tile', 'interpret'))
+def key_conv_stem(x, keys_in_b, bases, counts, w, *, window=WINDOW_STEM,
+                  tile=TILE, interpret=False):
+    """5^3 same-level conv for tiny cin (the network stem) via the
+    search+gather kernel (_stem_kernel). Same plans, same wire, same
+    semantics as key_conv(kernel_size=5) — ~125x fewer issued MXU flops.
+
+    x:          (B*pad, cin) features, cin <= 8
+    keys_in_b:  (B, pad) sorted int32 keys (SENT-padded); output space ==
+                input space (stride-1 stem)
+    bases/counts: the kc5 window plans (host_conv_plans)
+    w:          (125, cin, cout)
+    """
+    Bp, cin_raw = x.shape
+    B, pad = keys_in_b.shape
+    assert Bp == B * pad and pad % tile == 0 and cin_raw <= 8
+    window = min(window, pad)
+    tiles = pad // tile
+    offs = offsets_3d(5)
+    assert w.shape[0] == len(offs)
+    cout_raw = w.shape[2]
+    cout = _round128(cout_raw)
+    rows_pc = 200                       # 5 dx-groups x (5 dz x 8 dy slots)
+    R = _round128(cin_raw * rows_pc)
+
+    # channels on sublanes, voxel rows on lanes: lane-dim window DMAs + the
+    # Mosaic lane-gather want this orientation; 8x fewer window bytes than
+    # the one-hot kernel's (window, 128) blocks
+    xt = jnp.zeros((8, Bp), jnp.float32)
+    xt = xt.at[:cin_raw, :].set(x.astype(jnp.float32).T)
+
+    # weight rows scattered to the im2col^T layout (see _stem_kernel)
+    rows = np.array([c * rows_pc + (dx + 2) * 40 + (dz + 2) * 8 + (dy + 2)
+                     for c in range(cin_raw) for (dx, dy, dz) in offs])
+    wsrc = jnp.transpose(w.astype(jnp.bfloat16), (1, 0, 2)).reshape(
+        cin_raw * len(offs), cout_raw)
+    wm = jnp.zeros((R, cout), jnp.bfloat16).at[rows, :cout_raw].set(wsrc)
+
+    G = 5
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda b, t, *_: (0, b * tiles + t),
+                         memory_space=pltpu.VMEM),    # query keys as lanes
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # wm
+            pl.BlockSpec(memory_space=pl.ANY),        # xt in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # keys in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, cout), lambda b, t, *_: (b * tiles + t, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R, tile), jnp.float32),            # im2col^T
+            pltpu.VMEM((G, 2, 8, window), jnp.float32),    # feature windows
+            pltpu.VMEM((G, 2, 1, window), jnp.int32),      # key windows
+            pltpu.SemaphoreType.DMA((G, 2)),
+            pltpu.SemaphoreType.DMA((G, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_stem_kernel, cin=cin_raw, window=window, pad=pad,
+                          tiles=tiles, tile=tile, rows_pc=rows_pc, R=R),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, cout), jnp.float32),
+        interpret=interpret,
+    )(bases.reshape(-1), counts.reshape(-1), keys_in_b.reshape(1, -1), wm,
+      xt, keys_in_b.reshape(1, -1))
+    return out[:, :cout_raw]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def key_conv_stem_train(x, keys_in_b, bases, counts, w, window=WINDOW_STEM,
+                        tile=TILE):
+    """Differentiable stem conv: forward = the search+gather kernel; dw =
+    the shared one-hot dw kernel over the same windows (identical to the
+    key_conv_train stem path's dw). dx is NOT computed — the stem is the
+    network's first op and its input is data (batch['vox_features']); the
+    returned x-cotangent is zeros. ops.gather_conv routes only the stem
+    site here."""
+    return key_conv_stem(x, keys_in_b, bases, counts, w,
+                         window=window, tile=tile,
+                         interpret=jax.default_backend() != 'tpu')
+
+
+def _kcs_fwd(x, keys_in_b, bases, counts, w, window, tile):
+    out = key_conv_stem_train(x, keys_in_b, bases, counts, w, window, tile)
+    return out, (x.astype(jnp.bfloat16), x[:1, :1], keys_in_b, bases, counts,
+                 w)
+
+
+def _kcs_bwd(window, tile, res, gout):
+    x_bf, x_marker, keys_in_b, bases, counts, w = res
+    interp = jax.default_backend() != 'tpu'
+    dw = key_conv_dw(x_bf, gout, keys_in_b, keys_in_b.reshape(-1, 1), bases,
+                     counts, kernel_size=5, scale=1, guard=True,
+                     window=window, tile=tile, interpret=interp)
+    dx = jnp.zeros((x_bf.shape[0], x_bf.shape[1]), x_marker.dtype)
+    return (dx, None, None, None, dw.astype(w.dtype))
+
+
+key_conv_stem_train.defvjp(_kcs_fwd, _kcs_bwd)
+
+
 def key_conv_reference(x, keys_in_b, keys_out_b, w, kernel_size=3,
                        stride_child=False, scale=1):
     """NumPy oracle: searchsorted matching, exact missing/boundary handling."""

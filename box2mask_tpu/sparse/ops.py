@@ -16,6 +16,7 @@ sparse/coords.py; the convention is:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -102,6 +103,14 @@ def gather_conv(x, nbr, w, compute_dtype=jnp.bfloat16, unroll_threshold=9,
                 nbr['counts'], nbr['up_parent'], nbr['up_widx'], w,
                 scale, KC.WINDOW)
         win = KC.WINDOW_STEM if ksize == 5 else KC.WINDOW
+        if (ksize == 5 and scale == 1 and x.shape[1] <= 8
+                and os.environ.get('B2M_STEM_GATHER', '1') == '1'):
+            # stem fast path: search+gather kernel (~125x fewer issued MXU
+            # flops than the one-hot match at cin=3; key_conv._stem_kernel).
+            # Same plans/wire; dx is zeros (the stem input is data).
+            # B2M_STEM_GATHER=0 A/Bs the one-hot path.
+            return KC.key_conv_stem_train(
+                x, nbr['keys_in'], nbr['bases'], nbr['counts'], w, win)
         return KC.key_conv_train(
             x, nbr['keys_in'], nbr['keys_out_col'], nbr['bases'],
             nbr['counts'], w, ksize, scale, True, win)

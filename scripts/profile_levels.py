@@ -88,14 +88,32 @@ def main():
             guard=(ksize != 2)), mult)
 
     def up(tag, l, cin, cout, mult=1):
-        U = full[f'keys{l + 1}_b'].size
+        # the product up path: stride_parent key match over the kcu plans
+        # (kc batches ship no up_parent since round 5)
+        if f'kcu_base{l}' not in full:
+            return
+        coarse = full[f'keys{l + 1}_b']
+        fine_col = full[f'keys{l}_b'].reshape(-1, 1)
         w = jnp.asarray(rng.randn(8, cin, cout).astype(np.float32) * 0.02)
-        x = jnp.asarray(rng.rand(U, cin).astype(np.float32))
-        timeit(tag, lambda: ops.up_conv(
-            x, full[f'up_parent{l}'], full[f'up_widx{l}'], w), mult)
+        x = jnp.asarray(rng.rand(coarse.size, cin).astype(np.float32))
+        timeit(tag, lambda: KC.key_conv(
+            x, coarse, fine_col, full[f'kcu_base{l}'], full[f'kcu_cnt{l}'],
+            w, kernel_size=2, stride_parent=True, scale=1 << l, guard=False,
+            window=KC.WINDOW_UP), mult)
+
+    def stem_gather(tag):
+        # round-5 search+gather stem (the product stem path) vs the one-hot
+        # row above
+        keys = full['keys0_b']
+        w = jnp.asarray(rng.randn(125, 3, INIT_DIM).astype(np.float32) * .02)
+        x = jnp.asarray(rng.rand(keys.size, 3).astype(np.float32))
+        timeit(tag, lambda: KC.key_conv_stem(
+            x, keys, full['kc5_base0'], full['kc5_cnt0'], w,
+            window=KC.WINDOW_STEM))
 
     # ---- encoder ----
-    kc('stem 5^3 L0 3->32', 0, 3, INIT_DIM, 5)
+    kc('stem 5^3 L0 3->32 (one-hot, x0)', 0, 3, INIT_DIM, 5, mult=0)
+    stem_gather('stem 5^3 L0 3->32 (gather)')
     width = INIT_DIM
     for l in range(1, 8):
         kc(f'down L{l-1}->L{l} {width}ch', l - 1, width, width, 2)

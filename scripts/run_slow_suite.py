@@ -32,6 +32,10 @@ TESTS = [
     ('tests/test_e2e_cli.py::test_e2e_quality_value',
      {'B2M_TPU_TESTS': '1'}),
     ('tests/test_model_forward.py::test_remat_matches_plain', {}),
+    # full-scale converter dry run (round-4 verdict #8): ScanNet-scale shapes
+    # compile fastest on the real chip; no virtual mesh involved
+    ('tests/test_ckpt_convert.py::test_converter_full_scale_drives_fused_eval',
+     {'B2M_TPU_TESTS': '1', 'B2M_FUSED_EVAL': '1'}),
 ]
 
 

@@ -163,7 +163,9 @@ def test_forward_equivalence_key_conv():
     dev_kc, _ = build_batch(rets, cfg, sem_id2idx, mode='val',
                             device_maps=True)
     assert 'kc3_base0' in dev_kc and 'kc3_base0' not in dev_nmap
-    assert 'up_parent0' in dev_kc
+    # kc batches ship NO up_parent (kcu plans + in-jit up_widx cover the
+    # transpose; ~15% wire win, round-4 verdict #5)
+    assert 'up_parent0' not in dev_kc and 'kcu_base0' in dev_kc
 
     model = S.build_model(cfg, num_classes=20)
     fwd = S.make_forward(cfg, model)

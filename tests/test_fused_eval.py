@@ -80,6 +80,66 @@ def test_fused_eval_matches_host_oracle(tmp_path, monkeypatch):
         np.testing.assert_allclose(a_f[k], a_l[k], rtol=0)  # nan-aware
 
 
+def test_fused_readback_carries_per_vox_semantics(tmp_path, monkeypatch):
+    """With the per-vox semantics head configured, the stacked readback
+    ships a u8 `vox_sem` plane equal to the legacy path's argmax over the
+    raw head — what s3dis_eval_fused consumes (round-4 verdict #4)."""
+    cfg = _cfg(tmp_path, ['--network_heads', 'mlp_offsets', 'mlp_bounds',
+                          'mlp_bb_scores', 'mlp_semantics',
+                          'mlp_per_vox_semantics',
+                          '--loss_weight_per_vox_semantics', '1',
+                          '--dataset_size', '2'])
+    ds = get_dataset(cfg, 'val', do_augmentations=False)
+    monkeypatch.setenv('B2M_FUSED_EVAL', '1')
+    ev = Evaluater(cfg)
+    _, entries = ev.fused_dataset_results(ds, cache=False)
+    assert ev._vox_sem, 'vox_sem plane missing from the stacked readback'
+
+    monkeypatch.setenv('B2M_FUSED_EVAL', '0')
+    ev_l = Evaluater(cfg)
+    legacy = ev_l.dataset_prediction(ds, batch_size=1, cache=False)
+    for pred, dev, host in legacy:
+        for si, scene in enumerate(host['scene']):
+            nvox = int(np.asarray(dev['batch0'] == si).sum())
+            want = np.argmax(
+                np.asarray(pred[cfg.mlp_per_vox_semantics]), 1)[
+                np.asarray(dev['batch0']) == si]
+            got = ev._vox_sem[scene['name']][:nvox]
+            np.testing.assert_array_equal(got, want)
+
+
+def test_s3dis_fused_entry_matches_protocol_core(tmp_path):
+    """s3dis_eval_fused must feed _s3dis_protocol exactly the per-scene
+    (pred_sem, masks) the legacy path would: vox_sem[vox2point] with the
+    result-dict masks."""
+    rng = np.random.default_rng(3)
+    n_pts, n_vox = 600, 200
+    cfg = _cfg(tmp_path)
+    ev = Evaluater.__new__(Evaluater)          # no model needed
+    ev.cfg = cfg
+    pos = rng.normal(size=(n_pts, 3)).astype(np.float32)
+    pos[:, 2] = np.abs(pos[:, 2])
+    nrm = np.zeros((n_pts, 3), np.float32)
+    nrm[:, 2] = 1.0
+    labels = {'semantics': rng.integers(0, 13, n_pts),
+              'instances': rng.integers(1, 5, n_pts)}
+    scene = {'name': 'fake_room', 'positions': pos, 'normals': nrm}
+    vox2point = rng.integers(0, n_vox, n_pts)
+    host = {'scene': [scene], 'labels': [labels], 'vox2point': [vox2point]}
+    vox_sem = rng.integers(0, 13, n_vox).astype(np.uint8)
+    masks = rng.random((3, n_pts)) > 0.7
+    results = {'fake_room': {'conf': np.ones(3, np.float32),
+                             'label_id': np.ones(3, np.int32),
+                             'mask': masks}}
+    ev._vox_sem = {'fake_room': vox_sem}
+    got = ev.s3dis_eval_fused(results, [(None, None, host)])
+    want = ev._s3dis_protocol([
+        (scene, labels, vox_sem.astype(np.int64)[vox2point], masks,
+         'fake_room')])
+    np.testing.assert_allclose(got['mPrecision'], want['mPrecision'])
+    np.testing.assert_allclose(got['mRecall'], want['mRecall'])
+
+
 def test_fused_eval_cache_roundtrip(tmp_path, monkeypatch):
     """Second call reuses the cached compact readbacks and returns identical
     results (the cache stores stacked out_np dicts, not raw head outputs)."""

@@ -107,7 +107,7 @@ def test_derive_mode_matches_full_batch():
         ret['labels'] = labels
         rets.append(ret)
     dev, _ = build_batch(rets, cfg, sem_id2idx, mode='val')
-    assert 'up_parent0' in dev and 'kc3_base0' in dev
+    assert 'up_parent0' not in dev and 'kc3_base0' in dev
 
     pack_d, unpack_d, n_derive = make_batch_packer(dev, wire='compact',
                                                    derive=True)

@@ -127,6 +127,81 @@ def test_narrow_window_multi_chunk():
     np.testing.assert_allclose(np.asarray(got), want, rtol=0.05, atol=0.05)
 
 
+def stem_gather_case(B=1, pad=512, cin=3, cout=32, seed=11, window=None,
+                     spread=24):
+    """key_conv_stem (search+gather kernel) vs the NumPy oracle AND the
+    one-hot kernel. spread=24 includes coords 0/1 so dy/dz=-2 borrows
+    exercise the axis guards."""
+    rng = np.random.default_rng(seed)
+    keys_in, xs = [], []
+    for b in range(B):
+        ki, n = make_keys(rng, pad - 37 * (b + 1), pad, spread=spread)
+        keys_in.append(ki)
+        x = rng.normal(size=(pad, cin)).astype(np.float32)
+        x[n:] = 0
+        xs.append(x)
+    keys_in_b = np.stack(keys_in)
+    x = np.concatenate(xs, axis=0)
+    w = (rng.normal(size=(125, cin, cout)) * 0.1).astype(np.float32)
+    offs = KC.offsets_3d(5)
+    deltas = [KC.pack_delta(o) for o in offs]
+    groups = KC.group_by_dx(offs)
+    win = window or min(KC.WINDOW_STEM, pad)
+    bases = np.zeros((B, pad // KC.TILE, len(groups)), np.int32)
+    counts = np.zeros_like(bases)
+    for b in range(B):
+        bases[b], counts[b] = KC._host_bases(
+            keys_in_b[b], keys_in_b[b], deltas, groups, win, pad)
+    got = KC.key_conv_stem(
+        jnp.asarray(x), jnp.asarray(keys_in_b), jnp.asarray(bases),
+        jnp.asarray(counts), jnp.asarray(w), window=win, interpret=True)
+    want = KC.key_conv_reference(x, keys_in_b, keys_in_b, w, kernel_size=5)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.05, atol=0.05)
+    assert np.abs(want).max() > 0.1
+    return x, keys_in_b, bases, counts, w, win, counts
+
+
+def test_stem_gather_matches_oracle():
+    stem_gather_case()
+
+
+def test_stem_gather_batch2_cin6():
+    stem_gather_case(B=2, cin=6, cout=16, seed=12)
+
+
+def test_stem_gather_multi_chunk():
+    """Window forced narrow so dx-group spans need several chunks; hits
+    merge idempotently across overlapping chunks (no shift masking)."""
+    *_, counts = stem_gather_case(pad=1024, seed=13, window=128, spread=60)
+    assert counts.max() > 1
+
+
+def test_stem_gather_train_matches_onehot_train():
+    """Forward + dw of key_conv_stem_train vs key_conv_train at the stem
+    site (dx is zeros by design: the stem input is network input)."""
+    import jax
+    x, keys_in_b, bases, counts, w, win, _ = stem_gather_case(seed=14)
+    xj, kj = jnp.asarray(x), jnp.asarray(keys_in_b)
+    bj, cj, wj = jnp.asarray(bases), jnp.asarray(counts), jnp.asarray(w)
+
+    def f_stem(w_):
+        return (KC.key_conv_stem_train(xj, kj, bj, cj, w_, win) ** 2).sum()
+
+    def f_oh(w_):
+        return (KC.key_conv_train(xj, kj, kj.reshape(-1, 1), bj, cj, w_,
+                                  5, 1, True, win) ** 2).sum()
+
+    out_s = KC.key_conv_stem_train(xj, kj, bj, cj, wj, win)
+    out_o = KC.key_conv_train(xj, kj, kj.reshape(-1, 1), bj, cj, wj,
+                              5, 1, True, win)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_o),
+                               rtol=2e-2, atol=2e-2)
+    dw_s = jax.grad(f_stem)(wj)
+    dw_o = jax.grad(f_oh)(wj)
+    np.testing.assert_allclose(np.asarray(dw_s), np.asarray(dw_o),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_host_conv_plans_shapes():
     rng = np.random.default_rng(8)
     keys0, _ = make_keys(rng, 400, 512)

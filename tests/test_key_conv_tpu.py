@@ -80,6 +80,36 @@ def test_tpu_deep_level_scale8():
                  seed=23, spread=16)
 
 
+def test_tpu_stem_gather_compiled():
+    """Mosaic-compiled search+gather stem (key_conv_stem) vs the oracle AND
+    the compiled one-hot kernel at a realistic stem shape (cin=3)."""
+    rng = np.random.default_rng(25)
+    pad, cin, cout = 4096, 3, 32
+    ki, n = make_keys(rng, pad - 101, pad, spread=60)
+    x = rng.normal(size=(pad, cin)).astype(np.float32)
+    x[n:] = 0
+    w = (rng.normal(size=(125, cin, cout)) * 0.1).astype(np.float32)
+    offs = KC.offsets_3d(5)
+    deltas = [KC.pack_delta(o) for o in offs]
+    groups = KC.group_by_dx(offs)
+    win = min(KC.WINDOW_STEM, pad)
+    bases, counts = KC._host_bases(ki, ki, deltas, groups, win, pad)
+    got = KC.key_conv_stem(
+        jnp.asarray(x), jnp.asarray(ki[None]), jnp.asarray(bases[None]),
+        jnp.asarray(counts[None]), jnp.asarray(w), window=win,
+        interpret=False)
+    want = KC.key_conv_reference(x, ki[None], ki[None], w, kernel_size=5)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.05, atol=0.05)
+    onehot = KC.key_conv(
+        jnp.asarray(x), jnp.asarray(ki[None]),
+        jnp.asarray(ki.reshape(-1, 1)), jnp.asarray(bases[None]),
+        jnp.asarray(counts[None]), jnp.asarray(w), kernel_size=5,
+        window=win, interpret=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(onehot),
+                               rtol=2e-2, atol=2e-2)
+    assert np.abs(want).max() > 0.1
+
+
 def test_tpu_train_grads_compiled():
     """Compiled custom-VJP backward (dx mirrored kernel + dw accumulator)
     matches the f32 XLA autodiff of the oracle-equivalent gather conv."""
