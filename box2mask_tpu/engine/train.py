@@ -132,7 +132,6 @@ class Trainer:
                       'override)')
         if self.spatial:
             from box2mask_tpu.parallel import spatial as SP
-            import numpy as np
             devs = jax.devices()[:self.spatial]
             assert len(devs) == self.spatial, \
                 f'--spatial_shards {self.spatial} needs that many devices'

@@ -29,7 +29,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SCENE = 'synth10000_00'          # first val scene (deterministic generator)
 
 BASE = ['--config', 'configs/synthetic.txt',
-        '--overfit_to_single_scene_str', SCENE,
         '--fixed_seed', '10',         # augs are off in the synthetic preset:
                                       # overfit target = eval target exactly
         # 2cm voxels so the deep U-Net levels hold >1 voxel: at 5cm the 6m
@@ -44,9 +43,19 @@ BASE = ['--config', 'configs/synthetic.txt',
         '--val_every', '1000000', '--eval_every', '1000000']
 
 
-def run_gate(epochs, threshold, exp_root=None, dataset_size=32):
-    """Train + eval; returns measured mAP@50. dataset_size bounds the number
-    of per-epoch copies of the overfit scene (100 by default in the loader).
+def run_gate(epochs, threshold, exp_root=None, dataset_size=32,
+             held_out=False):
+    """Train + eval; returns measured mAP@50.
+
+    held_out=False (the original gate): overfit ONE val scene
+    (dataset_size bounds the per-epoch copies) and eval it — catches
+    semantic breakage anywhere in the pipeline.
+
+    held_out=True (round-4 verdict #7): train on the synthetic TRAIN split
+    (seeds 0..dataset_size-1) and eval 4 UNSEEN val-split scenes (seeds
+    10000+) at a loose bar — catches regressions that only hurt
+    generalization (BN/augmentation/association subtleties the overfit gate
+    is structurally blind to).
 
     Adam at constant lr=1e-3 plateaus the L1 geometry losses at ~0.3-0.5
     (oscillation around the minimum); cosine decay over the final 3/4 of the
@@ -57,17 +66,21 @@ def run_gate(epochs, threshold, exp_root=None, dataset_size=32):
         exp_root = tempfile.mkdtemp(prefix='b2m_quality_gate_')
     os.environ['BOX2MASK_EXP_ROOT'] = exp_root
     os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    args = BASE + ['--dataset_size', str(dataset_size)]
+    args = list(BASE)
+    if not held_out:
+        args += ['--overfit_to_single_scene_str', SCENE]
     import train as train_cli
     import evaluate as eval_cli
     # checkpoints save at epoch HEADS (epoch % ckpt_every == 0, before the
     # epoch trains), so ckpt_every = epochs-1 captures the near-final weights
-    train_cli.main(args + ['--num_epochs', str(epochs),
+    train_cli.main(args + ['--dataset_size', str(dataset_size),
+                           '--num_epochs', str(epochs),
                            '--ckpt_every', str(max(1, epochs - 1)),
                            '--use_lr_scheduler',
                            '--lr_scheduler_start_epoch', str(epochs // 4),
                            '--lr_scheduler_end_epoch', str(epochs)])
-    eval_cli.main(args + ['--eval_wo_aug'])
+    eval_cli.main(args + ['--dataset_size', '4' if held_out
+                          else str(dataset_size), '--eval_wo_aug'])
 
     results = os.path.join(exp_root, 'synthetic', 'results')
     tables = []
@@ -93,6 +106,12 @@ def main(argv=None):
     ap.add_argument('--epochs', type=int, default=75)
     ap.add_argument('--threshold', type=float, default=0.5)
     ap.add_argument('--dataset_size', type=int, default=32)
+    ap.add_argument('--held_out', action='store_true',
+                    help='ALSO run the held-out gate: train on the synthetic '
+                         'train split, eval 4 unseen val scenes, loose bar')
+    ap.add_argument('--held_out_epochs', type=int, default=150)
+    ap.add_argument('--held_out_scenes', type=int, default=16)
+    ap.add_argument('--held_out_threshold', type=float, default=0.3)
     ap.add_argument('--out', default=None,
                     help='also write the JSON (+ git SHA) to this file — the '
                          'per-round committed artifact QUALITY_r{N}.json')
@@ -102,6 +121,17 @@ def main(argv=None):
     ok = map50 == map50 and map50 >= a.threshold
     rec = {'metric': 'synthetic_overfit_map50', 'map50': map50,
            'threshold': a.threshold, 'pass': bool(ok), 'epochs': a.epochs}
+    if a.held_out:
+        ho = run_gate(a.held_out_epochs, a.held_out_threshold,
+                      dataset_size=a.held_out_scenes, held_out=True)
+        ho_ok = ho == ho and ho >= a.held_out_threshold
+        ok = ok and ho_ok
+        rec.update({'held_out_map50': ho,
+                    'held_out_threshold': a.held_out_threshold,
+                    'held_out_train_scenes': a.held_out_scenes,
+                    'held_out_eval_scenes': 4,
+                    'held_out_epochs': a.held_out_epochs,
+                    'held_out_pass': bool(ho_ok), 'pass': bool(ok)})
     if a.out:
         import subprocess
         import time as _time
