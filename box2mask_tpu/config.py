@@ -148,6 +148,10 @@ def config_parser():
     # escape hatch for the auto-remat policy below (needs_remat): multi-chip
     # DP shards the batch, so per-device activations may fit without remat
     add('--no_auto_remat', default=False, action='store_true')
+    # highest U-Net level whose blocks remat (7 = all): activation bytes
+    # concentrate at the shallow wide levels, so rematting only levels <= N
+    # frees almost all the memory while re-forwarding only those levels
+    add('--remat_levels', type=int, default=7)
     add('--num_epochs', type=int, default=1500)
     add('--lr', type=float, default=1e-6)
     add('--optimizer', type=str, default='Adam')

@@ -108,7 +108,8 @@ def build_model(cfg, num_classes, axis_name=None, remat=None):
         axis_name=axis_name,
         compute_dtype=compute_dtype,
         use_pallas=bool(use_pallas),
-        remat=bool(remat))
+        remat=bool(remat),
+        remat_max_level=int(getattr(cfg, 'remat_levels', 7)))
 
 
 def init_variables(model, sample_batch, seed=0, train=False):

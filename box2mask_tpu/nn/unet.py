@@ -64,12 +64,18 @@ class SelectionNet(nn.Module):
     axis_name: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
-    # rematerialize each BasicBlock in the backward (jax.checkpoint): trades
-    # ~1/3 extra forward FLOPs for not storing the block-internal
-    # activations — what lets bs=8 ScanNet-scale training fit one chip's
-    # 16 GB HBM (measured 262 MB over without it). Parameter tree is
-    # IDENTICAL with/without, so checkpoints interchange freely.
+    # rematerialize BasicBlocks in the backward (jax.checkpoint): trades
+    # extra forward FLOPs for not storing the block-internal activations —
+    # what lets bs=8 ScanNet-scale training fit one chip's 16 GB HBM
+    # (measured 262 MB over without it). Parameter tree is IDENTICAL
+    # with/without, so checkpoints interchange freely. remat_max_level
+    # bounds WHICH levels remat: activation bytes concentrate at the
+    # shallow wide levels (level-0 holds ~131k rows/scene vs ~10 at level
+    # 7), so rematting only levels <= remat_max_level frees almost all the
+    # memory while re-forwarding only those levels' convs; 7 = every level
+    # (the conservative default).
     remat: bool = False
+    remat_max_level: int = 7
 
     @nn.compact
     def __call__(self, batch, train: bool = True):
@@ -112,7 +118,7 @@ class SelectionNet(nn.Module):
             nbr = conv_operand(level, '3')
             v, n = batch[f'valid{level}'], batch[f'num{level}']
             block_cls, nbr_arr, nbr_static = BasicBlock, nbr, None
-            if self.remat:
+            if self.remat and level <= self.remat_max_level:
                 # self(0), x(1), nbr(2), valid(3), n_valid(4), train(5),
                 # nbr_static(6)
                 block_cls = nn.remat(BasicBlock, static_argnums=(5, 6))

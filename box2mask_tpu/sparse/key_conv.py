@@ -350,28 +350,37 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
 
 
 # ------------------------------------------------------------ stem fast path
-def _stem_kernel(bases_ref, counts_ref, keys_row_ref, w_ref, x_hbm, keys_hbm,
-                 out_ref, im2_ref, win_x, win_k, sem_x, sem_k, *,
+def _stem_im2col(bases_ref, counts_ref, keys_row_ref, x_hbm, keys_hbm,
+                 im2_ref, win_x, win_k, sem_x, sem_k, *,
                  cin, window, pad, tiles, tile, rows_pc, R):
-    """Search+gather 5^3 stem conv (cin <= 8, level 0, scale 1).
+    """Shared search+gather im2col builder for the 5^3 stem kernels.
 
     The one-hot formulation burns T*W*128 MXU flops PER OFFSET regardless of
     how few lanes carry real channels — at cin=3 that is 42x padding waste
     x125 offsets, ~50 ms of the ~210 ms 4-scene batch wall (round-4
-    profile_levels). This kernel replaces all 125 padded matmuls with VPU
-    work that scales with what is actually gathered:
+    profile_levels), and its dw twin pays the same again on the training
+    backward. This builder replaces all 125 padded matmuls with VPU work
+    that scales with what is actually gathered:
 
       per (tile, dx-group): ONE vectorized binary search per dy-column over
       the window's sorted keys (queries qb = key + delta(dx, dy, -2), five
       dy's in parallel on the 8 sublanes), then 5 probe rows lo..lo+4 —
       the dz in [-2,2] neighbors of a column are CONTIGUOUS among existing
       keys, so the first five keys >= qb cover every possible hit — with
-      Mosaic lane-gathers (tpu dynamic_gather: lane dim only, 128 lanes per
-      chunk) pulling the matched rows' features straight into a per-tile
-      im2col^T scratch. One dense (R x T)^T @ (R x Cout) matmul finishes the
-      conv: ~125x fewer MXU flops, VPU cost ~2k register-ops per tile.
+      Mosaic lane-gathers (tpu dynamic_gather: lane dim only, exactly 128
+      lanes per source) pulling the matched rows' features straight into a
+      per-tile im2col^T scratch. The forward finishes with one dense
+      (R x T)^T @ (R x Cout) matmul; the dw kernel with im2col @ g.
 
-    im2col^T row layout (must match the weight scatter in key_conv_stem):
+    Mosaic constraint that shaped the layout: dynamic_gather sources must
+    sit at LANE OFFSET 0 (slicing lanes 128:256 of a loaded (1,384) value
+    crashes the compiler — probed round 5), so windows arrive CHUNKED on a
+    leading dim: keys as (nch, 128) rows of the key plane, features as
+    (nch, 8, 128) rows of the channel-major plane (see _stem_operands) —
+    one DMA each, chunk selection is leading-dim indexing.
+
+    im2col^T row layout (must match the weight scatter in key_conv_stem and
+    the row gather in key_conv_stem_dw):
       row(c, g, m, dy) = c*rows_pc + g*40 + m*8 + (dy+2)
     (dy slots padded 5->8 so every store is a native-aligned (8,128) f32
     block; the 3 junk sublanes and the R tail carry zero weights).
@@ -399,7 +408,7 @@ def _stem_kernel(bases_ref, counts_ref, keys_row_ref, w_ref, x_hbm, keys_hbm,
     zf = qk & (AXIS_MAX - 1)
     dy_s = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0) - 2
     yq = yf + dy_s
-    ok_dy = (yq >= 0) & (yq < AXIS_MAX) & (dy_s <= 2)        # junk sublanes off
+    ok_dy = (yq >= 0) & (yq < AXIS_MAX) & (dy_s <= 2)    # junk sublanes off
     okz = []
     for m in range(5):
         zq = zf + (m - 2)
@@ -407,14 +416,16 @@ def _stem_kernel(bases_ref, counts_ref, keys_row_ref, w_ref, x_hbm, keys_hbm,
 
     def dma_pair(flat_idx, g, chunk, slot):
         su = bases_ref[flat_idx * G + g] + chunk * window
-        start = pl.multiple_of(jnp.minimum(su, pad - window), 128)
+        # bases and window are 128-aligned (see _host_bases), so the clamped
+        # start maps exactly onto chunk rows of the reshaped planes
+        start = jnp.minimum(su, pad - window)
         bq = flat_idx // tiles
+        row0 = jax.lax.shift_right_logical(bq * pad + start, 7)
         cpx = pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(bq * pad + start, window)],
-            win_x.at[g, slot], sem_x.at[g, slot])
+            x_hbm.at[pl.ds(row0, nch)], win_x.at[g, slot], sem_x.at[g, slot])
         cpk = pltpu.make_async_copy(
-            keys_hbm.at[pl.ds(0, 1), pl.ds(bq * pad + start, window)],
-            win_k.at[g, slot], sem_k.at[g, slot])
+            keys_hbm.at[pl.ds(row0, nch)], win_k.at[g, slot],
+            sem_k.at[g, slot])
         return cpx, cpk
 
     def issue(flat_idx, slot):
@@ -453,13 +464,10 @@ def _stem_kernel(bases_ref, counts_ref, keys_row_ref, w_ref, x_hbm, keys_hbm,
         xq = xf + dx
         ok_g = valid & ok_dy & (xq >= 0) & (xq < AXIS_MAX)
         qb = qk + dK + dy_s * AXIS_MAX - 2          # column base (z-2) query
-        wk = win_k[g, slot, :, :]                   # (1, window)
-        wkc = [jnp.broadcast_to(wk[:, 128 * j:128 * (j + 1)], (8, tile))
+        wkc = [jnp.broadcast_to(win_k[g, slot, j:j + 1, :], (8, tile))
                for j in range(nch)]
-        wx = win_x[g, slot, :, :]                   # (8, window) f32
-        wxc = [[jnp.broadcast_to(wx[c:c + 1, 128 * j:128 * (j + 1)],
-                                 (8, tile)) for j in range(nch)]
-               for c in range(cin)]
+        wxc = [[jnp.broadcast_to(win_x[g, slot, j, c:c + 1, :], (8, tile))
+                for j in range(nch)] for c in range(cin)]
 
         def gat(srcs, pos):
             out = None
@@ -514,10 +522,99 @@ def _stem_kernel(bases_ref, counts_ref, keys_row_ref, w_ref, x_hbm, keys_hbm,
                 r0 = c * rows_pc + g * 40 + m * 8
                 im2_ref[r0:r0 + 8, :] = vals[m * cin + c]
 
+
+def _stem_kernel(bases_ref, counts_ref, keys_row_ref, w_ref, x_hbm, keys_hbm,
+                 out_ref, im2_ref, win_x, win_k, sem_x, sem_k, *,
+                 cin, window, pad, tiles, tile, rows_pc, R):
+    """Search+gather 5^3 stem FORWARD: im2col^T then one dense matmul per
+    tile (~125x fewer issued MXU flops than the one-hot kernel at cin=3).
+    See _stem_im2col for the method and layout."""
+    _stem_im2col(bases_ref, counts_ref, keys_row_ref, x_hbm, keys_hbm,
+                 im2_ref, win_x, win_k, sem_x, sem_k, cin=cin, window=window,
+                 pad=pad, tiles=tiles, tile=tile, rows_pc=rows_pc, R=R)
     out_ref[...] = jax.lax.dot_general(
         im2_ref[...].astype(jnp.bfloat16), w_ref[...],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+
+
+def _stem_dw_kernel(bases_ref, counts_ref, keys_row_ref, g_ref, x_hbm,
+                    keys_hbm, dw_ref, im2_ref, win_x, win_k, sem_x, sem_k, *,
+                    cin, window, pad, tiles, tile, rows_pc, R):
+    """Search+gather 5^3 stem WEIGHT GRADIENT: dw_rows += im2col^T @ g,
+    accumulated over the grid (the one-hot dw kernel pays the same 42x
+    padding waste as the one-hot forward — this is its cheap twin on the
+    training path). Junk rows (dy pad slots, R tail) accumulate zeros or
+    garbage x finite g; key_conv_stem_dw gathers only the real rows."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when((b == 0) & (t == 0))
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    _stem_im2col(bases_ref, counts_ref, keys_row_ref, x_hbm, keys_hbm,
+                 im2_ref, win_x, win_k, sem_x, sem_k, cin=cin, window=window,
+                 pad=pad, tiles=tiles, tile=tile, rows_pc=rows_pc, R=R)
+    dw_ref[...] += jnp.dot(im2_ref[...].astype(jnp.bfloat16),
+                           g_ref[...].astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+
+
+def _stem_operands(x, keys_in_b, window, tile):
+    """Chunk-major operand planes for the stem kernels (see _stem_im2col):
+    keys as (B*pad/128, 128) rows, features as (B*pad/128, 8, 128) with
+    channels on the middle dim — window DMAs slice chunk ROWS, so every
+    gather source lives at lane offset 0."""
+    Bp, cin_raw = x.shape
+    B, pad = keys_in_b.shape
+    assert Bp == B * pad and pad % tile == 0 and cin_raw <= 8
+    window = min(window, pad)
+    assert window % 128 == 0 and pad % 128 == 0
+    keys2d = keys_in_b.reshape(-1, 128)
+    xt = jnp.zeros((Bp, 8), jnp.float32)
+    xt = xt.at[:, :cin_raw].set(x.astype(jnp.float32))
+    xt3 = jnp.transpose(xt.reshape(Bp // 128, 128, 8), (0, 2, 1))
+    rows_pc = 200                     # 5 dx-groups x (5 dz x 8 dy slots)
+    R = _round128(cin_raw * rows_pc)
+    return keys2d, xt3, window, rows_pc, R, B, pad, cin_raw
+
+
+def _stem_rows(cin_raw, rows_pc):
+    """im2col^T row index of (channel c, offset k) in the x-major offset
+    enumeration — the weight scatter/gather permutation."""
+    offs = offsets_3d(5)
+    return np.array([c * rows_pc + (dx + 2) * 40 + (dz + 2) * 8 + (dy + 2)
+                     for c in range(cin_raw) for (dx, dy, dz) in offs])
+
+
+def _stem_grid_spec(B, pad, tile, window, cin_raw, R, out_block, out_index):
+    G = 5
+    nch = window // 128
+    tiles = pad // tile
+    op_spec = (pl.BlockSpec(memory_space=pltpu.VMEM) if out_block[0] is None
+               else pl.BlockSpec(out_block[0], out_block[1],
+                                 memory_space=pltpu.VMEM))
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda b, t, *_: (0, b * tiles + t),
+                         memory_space=pltpu.VMEM),    # query keys as lanes
+            op_spec,                                  # wm / g operand
+            pl.BlockSpec(memory_space=pl.ANY),        # xt3 in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # keys2d in HBM
+        ],
+        out_specs=pl.BlockSpec(out_index[0], out_index[1],
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R, tile), jnp.float32),            # im2col^T
+            pltpu.VMEM((G, 2, nch, 8, 128), jnp.float32),  # feature windows
+            pltpu.VMEM((G, 2, nch, 128), jnp.int32),       # key windows
+            pltpu.SemaphoreType.DMA((G, 2)),
+            pltpu.SemaphoreType.DMA((G, 2)),
+        ],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=('window', 'tile', 'interpret'))
@@ -533,73 +630,75 @@ def key_conv_stem(x, keys_in_b, bases, counts, w, *, window=WINDOW_STEM,
     bases/counts: the kc5 window plans (host_conv_plans)
     w:          (125, cin, cout)
     """
-    Bp, cin_raw = x.shape
-    B, pad = keys_in_b.shape
-    assert Bp == B * pad and pad % tile == 0 and cin_raw <= 8
-    window = min(window, pad)
+    (keys2d, xt3, window, rows_pc, R, B, pad,
+     cin_raw) = _stem_operands(x, keys_in_b, window, tile)
     tiles = pad // tile
     offs = offsets_3d(5)
     assert w.shape[0] == len(offs)
     cout_raw = w.shape[2]
     cout = _round128(cout_raw)
-    rows_pc = 200                       # 5 dx-groups x (5 dz x 8 dy slots)
-    R = _round128(cin_raw * rows_pc)
-
-    # channels on sublanes, voxel rows on lanes: lane-dim window DMAs + the
-    # Mosaic lane-gather want this orientation; 8x fewer window bytes than
-    # the one-hot kernel's (window, 128) blocks
-    xt = jnp.zeros((8, Bp), jnp.float32)
-    xt = xt.at[:cin_raw, :].set(x.astype(jnp.float32).T)
-
-    # weight rows scattered to the im2col^T layout (see _stem_kernel)
-    rows = np.array([c * rows_pc + (dx + 2) * 40 + (dz + 2) * 8 + (dy + 2)
-                     for c in range(cin_raw) for (dx, dy, dz) in offs])
+    # weight rows scattered to the im2col^T layout
+    rows = _stem_rows(cin_raw, rows_pc)
     wsrc = jnp.transpose(w.astype(jnp.bfloat16), (1, 0, 2)).reshape(
         cin_raw * len(offs), cout_raw)
     wm = jnp.zeros((R, cout), jnp.bfloat16).at[rows, :cout_raw].set(wsrc)
 
-    G = 5
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, tiles),
-        in_specs=[
-            pl.BlockSpec((1, tile), lambda b, t, *_: (0, b * tiles + t),
-                         memory_space=pltpu.VMEM),    # query keys as lanes
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # wm
-            pl.BlockSpec(memory_space=pl.ANY),        # xt in HBM
-            pl.BlockSpec(memory_space=pl.ANY),        # keys in HBM
-        ],
-        out_specs=pl.BlockSpec(
-            (tile, cout), lambda b, t, *_: (b * tiles + t, 0),
-            memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((R, tile), jnp.float32),            # im2col^T
-            pltpu.VMEM((G, 2, 8, window), jnp.float32),    # feature windows
-            pltpu.VMEM((G, 2, 1, window), jnp.int32),      # key windows
-            pltpu.SemaphoreType.DMA((G, 2)),
-            pltpu.SemaphoreType.DMA((G, 2)),
-        ],
-    )
+    grid_spec = _stem_grid_spec(
+        B, pad, tile, window, cin_raw, R,
+        out_block=(None, None),
+        out_index=((tile, cout), lambda b, t, *_: (b * tiles + t, 0)))
     out = pl.pallas_call(
         functools.partial(_stem_kernel, cin=cin_raw, window=window, pad=pad,
                           tiles=tiles, tile=tile, rows_pc=rows_pc, R=R),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Bp, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * pad, cout), jnp.float32),
         interpret=interpret,
     )(bases.reshape(-1), counts.reshape(-1), keys_in_b.reshape(1, -1), wm,
-      xt, keys_in_b.reshape(1, -1))
+      xt3, keys2d)
     return out[:, :cout_raw]
+
+
+@functools.partial(jax.jit, static_argnames=('window', 'tile', 'interpret'))
+def key_conv_stem_dw(x, g, keys_in_b, bases, counts, *, window=WINDOW_STEM,
+                     tile=TILE, interpret=False):
+    """Stem weight gradient via the search+gather im2col:
+    dw[k, c, o] = sum_v im2col[v, (c,k)] * g[v, o] — one (R,T)@(T,Cout)
+    accumulating matmul per tile instead of 125 padded one-hot matmuls
+    (key_conv_dw at cin=3 pays the forward's 42x waste AGAIN)."""
+    (keys2d, xt3, window, rows_pc, R, B, pad,
+     cin_raw) = _stem_operands(x, keys_in_b, window, tile)
+    tiles = pad // tile
+    cout_raw = g.shape[1]
+    cout = _round128(cout_raw)
+    gp = jnp.zeros((B * pad, cout), jnp.float32)
+    gp = gp.at[:, :cout_raw].set(g.astype(jnp.float32))
+
+    grid_spec = _stem_grid_spec(
+        B, pad, tile, window, cin_raw, R,
+        out_block=((tile, cout), lambda b, t, *_: (b * tiles + t, 0)),
+        out_index=((R, cout), lambda b, t, *_: (0, 0)))
+    dwr = pl.pallas_call(
+        functools.partial(_stem_dw_kernel, cin=cin_raw, window=window,
+                          pad=pad, tiles=tiles, tile=tile, rows_pc=rows_pc,
+                          R=R),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, cout), jnp.float32),
+        interpret=interpret,
+    )(bases.reshape(-1), counts.reshape(-1), keys_in_b.reshape(1, -1), gp,
+      xt3, keys2d)
+    rows = _stem_rows(cin_raw, rows_pc)
+    dw = dwr[rows, :cout_raw].reshape(cin_raw, 125, cout_raw)
+    return jnp.transpose(dw, (1, 0, 2))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def key_conv_stem_train(x, keys_in_b, bases, counts, w, window=WINDOW_STEM,
                         tile=TILE):
     """Differentiable stem conv: forward = the search+gather kernel; dw =
-    the shared one-hot dw kernel over the same windows (identical to the
-    key_conv_train stem path's dw). dx is NOT computed — the stem is the
-    network's first op and its input is data (batch['vox_features']); the
-    returned x-cotangent is zeros. ops.gather_conv routes only the stem
-    site here."""
+    the search+gather dw kernel over the same windows. dx is NOT computed —
+    the stem is the network's first op and its input is data
+    (batch['vox_features']); the returned x-cotangent is zeros.
+    ops.gather_conv routes only the stem site here."""
     return key_conv_stem(x, keys_in_b, bases, counts, w,
                          window=window, tile=tile,
                          interpret=jax.default_backend() != 'tpu')
@@ -614,9 +713,8 @@ def _kcs_fwd(x, keys_in_b, bases, counts, w, window, tile):
 def _kcs_bwd(window, tile, res, gout):
     x_bf, x_marker, keys_in_b, bases, counts, w = res
     interp = jax.default_backend() != 'tpu'
-    dw = key_conv_dw(x_bf, gout, keys_in_b, keys_in_b.reshape(-1, 1), bases,
-                     counts, kernel_size=5, scale=1, guard=True,
-                     window=window, tile=tile, interpret=interp)
+    dw = key_conv_stem_dw(x_bf, gout, keys_in_b, bases, counts,
+                          window=window, tile=tile, interpret=interp)
     dx = jnp.zeros((x_bf.shape[0], x_bf.shape[1]), x_marker.dtype)
     return (dx, None, None, None, dw.astype(w.dtype))
 

@@ -179,9 +179,11 @@ def main():
     from box2mask_tpu.nn import losses as L
     from box2mask_tpu.datasets.tables import get_tables
     import copy
-    for remat in (False, True):
+    for remat, levels in ((False, 7), (True, 7), (True, 1), (True, 2)):
         cfg_r = copy.copy(cfg)
         cfg_r.remat = remat
+        cfg_r.remat_levels = levels
+        remat = f'{remat}/L<={levels}' if remat else remat
         model = S.build_model(cfg_r, num_classes=20)
         try:
             variables = S.init_variables(model, batch, train=False)

@@ -164,3 +164,19 @@ def test_remat_matches_plain(setup):
             jax.tree_util.tree_leaves_with_path(n1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5), str(p)
+
+    # selective remat (--remat_levels 1: only the shallow wide levels
+    # recompute) is the same pure trade
+    model_s = SelectionNet(num_classes=20, heads=tuple(cfg.network_heads),
+                           layers=cfg.layers, compute_dtype=jnp.float32,
+                           remat=True, remat_max_level=1)
+    s2 = S.init_state(cfg_r, model_s, tx, batch)
+    step2 = S.make_train_step(cfg_r, model_s, tx, donate=False)
+    n2, ld2 = step2(s2, batch, lr, one, one)
+    np.testing.assert_allclose(float(ld0['optimization_loss']),
+                               float(ld2['optimization_loss']), rtol=1e-5)
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(n0.params),
+            jax.tree_util.tree_leaves_with_path(n2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5), str(p)
