@@ -110,6 +110,36 @@ def test_tpu_stem_gather_compiled():
     assert np.abs(want).max() > 0.1
 
 
+def test_tpu_stem_gather_dw_compiled():
+    """Compiled search+gather stem dw (key_conv_stem_dw) vs the compiled
+    one-hot dw kernel at the stem shape."""
+    rng = np.random.default_rng(26)
+    pad, cin, cout = 4096, 3, 32
+    ki, n = make_keys(rng, pad - 101, pad, spread=60)
+    x = rng.normal(size=(pad, cin)).astype(np.float32)
+    x[n:] = 0
+    g = rng.normal(size=(pad, cout)).astype(np.float32)
+    g[n:] = 0
+    offs = KC.offsets_3d(5)
+    deltas = [KC.pack_delta(o) for o in offs]
+    groups = KC.group_by_dx(offs)
+    win = min(KC.WINDOW_STEM, pad)
+    bases, counts = KC._host_bases(ki, ki, deltas, groups, win, pad)
+    got = KC.key_conv_stem_dw(
+        jnp.asarray(x), jnp.asarray(g), jnp.asarray(ki[None]),
+        jnp.asarray(bases[None]), jnp.asarray(counts[None]), window=win,
+        interpret=False)
+    want = KC.key_conv_dw(
+        jnp.asarray(x), jnp.asarray(g), jnp.asarray(ki[None]),
+        jnp.asarray(ki.reshape(-1, 1)), jnp.asarray(bases[None]),
+        jnp.asarray(counts[None]), kernel_size=5, window=win,
+        interpret=False)
+    w = np.abs(np.asarray(want)).max()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2 * w)
+    assert w > 0.1
+
+
 def test_tpu_train_grads_compiled():
     """Compiled custom-VJP backward (dx mirrored kernel + dw accumulator)
     matches the f32 XLA autodiff of the oracle-equivalent gather conv."""
