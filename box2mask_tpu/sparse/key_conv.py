@@ -469,26 +469,33 @@ def _stem_im2col(bases_ref, counts_ref, keys_row_ref, x_hbm, keys_hbm,
         wxc = [[jnp.broadcast_to(win_x[g, slot, j, c:c + 1, :], (8, tile))
                 for j in range(nch)] for c in range(cin)]
 
-        def gat(srcs, pos):
-            out = None
-            for j in range(nch):
-                lj = jnp.clip(pos - 128 * j, 0, 127)
-                gj = jnp.take_along_axis(srcs[j], lj, axis=1)
-                out = gj if out is None else jnp.where(pos >= 128 * j, gj,
-                                                       out)
+        def gat_prep(pos):
+            # chunk-local indices + chunk selectors, shared by every source
+            # gathered at the same positions (1 key + cin feature planes)
+            ljs = [jnp.clip(pos - 128 * j, 0, 127) for j in range(nch)]
+            sels = [pos >= 128 * j for j in range(1, nch)]
+            return ljs, sels
+
+        def gat(srcs, prep):
+            ljs, sels = prep
+            out = jnp.take_along_axis(srcs[0], ljs[0], axis=1)
+            for j in range(1, nch):
+                out = jnp.where(sels[j - 1],
+                                jnp.take_along_axis(srcs[j], ljs[j], axis=1),
+                                out)
             return out
 
         lo = jnp.zeros((8, tile), jnp.int32)
         hi = jnp.full((8, tile), window, jnp.int32)
         for _ in range(iters):
             mid = (lo + hi) >> 1
-            pred = gat(wkc, mid) < qb
+            pred = gat(wkc, gat_prep(mid)) < qb
             lo = jnp.where(pred, mid + 1, lo)
             hi = jnp.where(pred, hi, mid)
         for j in range(5):
-            pos = jnp.minimum(lo + j, window - 1)
-            kj = gat(wkc, pos)
-            fj = [gat(wxc[c], pos) for c in range(cin)]
+            prep = gat_prep(jnp.minimum(lo + j, window - 1))
+            kj = gat(wkc, prep)
+            fj = [gat(wxc[c], prep) for c in range(cin)]
             for m in range(5):
                 hit = ok_g & okz[m] & (kj == qb + m)
                 for c in range(cin):

@@ -1,6 +1,13 @@
 #!/usr/bin/env python
-"""Per-site fwd/dx/dw timing of the TRAINING step at the shipped operating
-point (bs=8 x ~131k rows) — the round-4 verdict #2 breakdown.
+"""Per-site fwd/dx/dw timing of the TRAINING step — the round-4 verdict #2
+breakdown. Default batch is 4 (the bench scale): per-site kernel cost is
+linear in rows, the fwd/dx rows then REUSE profile_levels' cached programs
+(dx = the same executable with transposed weights), and only the dw rows
+compile fresh — a bs=8 sweep would recompile every site for hours through
+the remote compile service. Scale per-site numbers by 2.23x for the bs=8
+step (1.05M vs 470k rows); the whole-program remat A/B rows at the end run
+at the argv batch too — their RELATIVE cost (refwd share per remat level)
+is the decision input, the bs=8 FIT check lives in bench_train.
 
 Methodology identical to profile_levels.py (tunnel-proof: N queued
 dispatches, ONE terminating data fetch, null RTT subtracted). For every conv
@@ -24,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
 
@@ -71,6 +78,14 @@ def main():
         print(f'{tag:<40} {dt:8.2f} ms  x{mult}', flush=True)
         return dt
 
+    DW_SITES = ('stem', 'enc L1', 'dec L0', 'dec L1', 'dec L2',
+                'enc L4', 'down L0', 'up L1')
+
+    def want_dw(tag):
+        # dw rows compile fresh (never profiled before round 5): restrict
+        # them to the sites that dominate the wall + one deep/wide outlier
+        return any(tag.startswith(p) for p in DW_SITES)
+
     def site(tag, l, cin, cout, ksize, mult=1):
         """fwd + dx + dw of one same-level conv site (3^3 or the 5^3 stem)."""
         keys = full[f'keys{l}_b']
@@ -79,7 +94,7 @@ def main():
             return
         K = ksize ** 3
         w = jnp.asarray(rng.randn(K, cin, cout).astype(np.float32) * 0.02)
-        x = jnp.asarray(rng.rand(keys.size, cin).astype(np.bfloat16))
+        x = jnp.asarray(rng.rand(keys.size, cin).astype(np.float32)).astype(jnp.bfloat16)
         g = jnp.asarray(rng.rand(keys.size, cout).astype(np.float32))
         kout = keys.reshape(-1, 1)
         win = KC.WINDOW_STEM if ksize == 5 else KC.WINDOW
@@ -87,7 +102,11 @@ def main():
             timeit(f'{tag} fwd(gather)', lambda: KC.key_conv_stem(
                 x.astype(jnp.float32), keys, full[kb], full[kcnt], w,
                 window=win), mult)
-            # stem dx is never computed (input is data)
+            # stem dx is never computed (input is data); dw = the gather
+            # dw kernel (the product backward path since round 5)
+            timeit(f'{tag} dw(gather)', lambda: KC.key_conv_stem_dw(
+                x.astype(jnp.float32), g, keys, full[kb], full[kcnt],
+                window=win), mult)
         else:
             timeit(f'{tag} fwd', lambda: KC.key_conv(
                 x, keys, kout, full[kb], full[kcnt], w,
@@ -97,9 +116,10 @@ def main():
                 g, keys, kout, full[kb], full[kcnt],
                 KC._mirror_weights(w), kernel_size=ksize, scale=1 << l,
                 guard=True, window=win), mult)
-        timeit(f'{tag} dw', lambda: KC.key_conv_dw(
-            x, g, keys, kout, full[kb], full[kcnt], kernel_size=ksize,
-            scale=1 << l, guard=True, window=win), mult)
+        if want_dw(tag):
+            timeit(f'{tag} dw', lambda: KC.key_conv_dw(
+                x, g, keys, kout, full[kb], full[kcnt], kernel_size=ksize,
+                scale=1 << l, guard=True, window=win), mult)
 
     def down_site(tag, l, cin, cout, mult=1):
         keys = full[f'keys{l}_b']
@@ -107,7 +127,7 @@ def main():
             return
         coarse_col = full[f'keys{l + 1}_b'].reshape(-1, 1)
         w = jnp.asarray(rng.randn(8, cin, cout).astype(np.float32) * 0.02)
-        x = jnp.asarray(rng.rand(keys.size, cin).astype(np.bfloat16))
+        x = jnp.asarray(rng.rand(keys.size, cin).astype(np.float32)).astype(jnp.bfloat16)
         g = jnp.asarray(
             rng.rand(full[f'keys{l + 1}_b'].size, cout).astype(np.float32))
         timeit(f'{tag} fwd', lambda: KC.key_conv(
@@ -120,10 +140,11 @@ def main():
             full[f'kcu_base{l}'], full[f'kcu_cnt{l}'],
             jnp.transpose(w, (0, 2, 1)), kernel_size=2, stride_parent=True,
             scale=1 << l, guard=False, window=KC.WINDOW_UP), mult)
-        timeit(f'{tag} dw', lambda: KC.key_conv_dw(
-            x, g, keys, coarse_col, full[f'kcd_base{l}'],
-            full[f'kcd_cnt{l}'], kernel_size=2, stride_child=True,
-            scale=1 << l, guard=False, window=KC.WINDOW), mult)
+        if want_dw(tag):
+            timeit(f'{tag} dw', lambda: KC.key_conv_dw(
+                x, g, keys, coarse_col, full[f'kcd_base{l}'],
+                full[f'kcd_cnt{l}'], kernel_size=2, stride_child=True,
+                scale=1 << l, guard=False, window=KC.WINDOW), mult)
 
     def up_site(tag, l, cin, cout, mult=1):
         if f'kcu_base{l}' not in full:
@@ -131,7 +152,7 @@ def main():
         coarse = full[f'keys{l + 1}_b']
         fine_col = full[f'keys{l}_b'].reshape(-1, 1)
         w = jnp.asarray(rng.randn(8, cin, cout).astype(np.float32) * 0.02)
-        x = jnp.asarray(rng.rand(coarse.size, cin).astype(np.bfloat16))
+        x = jnp.asarray(rng.rand(coarse.size, cin).astype(np.float32)).astype(jnp.bfloat16)
         g = jnp.asarray(
             rng.rand(full[f'keys{l}_b'].size, cout).astype(np.float32))
         timeit(f'{tag} fwd', lambda: KC.key_conv(
@@ -144,10 +165,11 @@ def main():
             full[f'kcd_base{l}'], full[f'kcd_cnt{l}'],
             jnp.transpose(w, (0, 2, 1)), kernel_size=2, stride_child=True,
             scale=1 << l, guard=False, window=KC.WINDOW), mult)
-        timeit(f'{tag} dw', lambda: KC.key_conv_dw(
-            x, g, coarse, fine_col, full[f'kcu_base{l}'],
-            full[f'kcu_cnt{l}'], kernel_size=2, stride_parent=True,
-            scale=1 << l, guard=False, window=KC.WINDOW_UP), mult)
+        if want_dw(tag):
+            timeit(f'{tag} dw', lambda: KC.key_conv_dw(
+                x, g, coarse, fine_col, full[f'kcu_base{l}'],
+                full[f'kcu_cnt{l}'], kernel_size=2, stride_parent=True,
+                scale=1 << l, guard=False, window=KC.WINDOW_UP), mult)
 
     site('stem 5^3 3->32', 0, 3, INIT_DIM, 5)
     width = INIT_DIM
