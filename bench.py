@@ -121,7 +121,7 @@ def bench_train(cfg, model, jax, jnp, S, batch_sizes=(1, 8), n_steps=8):
         uploader = BatchUploader()
         bs_model = model
         from box2mask_tpu.config import needs_remat
-        if needs_remat(bs, cfg.vox_bucket):
+        if needs_remat(bs * cfg.vox_bucket):
             # the SAME policy get_config applies to the product trainer
             # (round-4 verdict #3): block remat when bs x vox_bucket cannot
             # fit 16 GB HBM; param tree identical, so the throughput number
