@@ -152,6 +152,12 @@ def config_parser():
     # concentrate at the shallow wide levels, so rematting only levels <= N
     # frees almost all the memory while re-forwarding only those levels
     add('--remat_levels', type=int, default=7)
+    # bf16 activations between ops (params/BN stats/losses stay f32): halves
+    # the stored-activation footprint, which lets the bs=8 ScanNet-scale
+    # train step fit a 16 GB chip WITHOUT block remat — no ~20% re-forward
+    # tax (measured round 5: 1545 -> ~1150 ms/step). The TPU-native mixed
+    # precision the reference (f32 torch on GPU) has no analog of.
+    add('--bf16_acts', default=False, action='store_true')
     add('--num_epochs', type=int, default=1500)
     add('--lr', type=float, default=1e-6)
     add('--optimizer', type=str, default='Adam')
@@ -280,20 +286,23 @@ def _apply_config_file(parser, argv):
     return extra + list(argv or [])
 
 
-def needs_remat(total_padded_rows):
+def needs_remat(total_padded_rows, bf16_acts=False):
     """True when a training step over this many level-0 voxel rows (summed
     over the scenes one device holds) does not fit a 16 GB chip without
-    block remat: 8 x 131072 rows measured 262 MB over HBM (DESIGN.md round
-    4; the reference needs 48 GB for the same config, README.md:102-103).
-    4 x 131072 fits (about half the activation footprint), so the threshold
-    sits strictly above it. The policy lives HERE so train.py and bench.py
-    inherit the same rule; inference paths never remat (no backward).
+    block remat: 8 x 131072 rows measured 262 MB over HBM at f32
+    activations (DESIGN.md round 4; the reference needs 48 GB for the same
+    config, README.md:102-103). 4 x 131072 fits (about half the activation
+    footprint), so the f32 threshold sits strictly above it. With
+    --bf16_acts the stored activations halve, and 8 x 131072 is measured
+    to fit WITHOUT remat (round 5) — the threshold doubles. The policy
+    lives HERE so train.py and bench.py inherit the same rule; inference
+    paths never remat (no backward).
 
     get_config applies it to batch_size x vox_bucket (exact for the bench-
     style configs that pin one bucket); Trainer._ensure_state re-applies it
     to the FIRST REAL BATCH's padded rows, which also covers configs that
     leave vox_bucket at the small rounding quantum."""
-    return total_padded_rows > 4 * 131072
+    return total_padded_rows > (8 if bf16_acts else 4) * 131072
 
 
 def get_config(args=None):
@@ -387,7 +396,7 @@ def get_config(args=None):
     # (--multigpu DP shards scenes across devices, so the single-chip memory
     # rule does not apply — engine/train.py re-checks per-device size there)
     if (not cfg.remat and not cfg.no_auto_remat and not cfg.multigpu
-            and needs_remat(cfg.batch_size * cfg.vox_bucket)):
+            and needs_remat(cfg.batch_size * cfg.vox_bucket, cfg.bf16_acts)):
         cfg.remat = True
         cfg.remat_auto = True
 

@@ -108,6 +108,8 @@ def build_model(cfg, num_classes, axis_name=None, remat=None):
         axis_name=axis_name,
         compute_dtype=compute_dtype,
         use_pallas=bool(use_pallas),
+        act_dtype=(jnp.bfloat16 if getattr(cfg, 'bf16_acts', False)
+                   else jnp.float32),
         remat=bool(remat),
         remat_max_level=int(getattr(cfg, 'remat_levels', 7)))
 

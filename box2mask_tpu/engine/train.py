@@ -121,7 +121,8 @@ class Trainer:
                 flat = flat[0]
             rows = next((int(np.size(flat[k])) for k in ('valid0', 'batch0')
                          if k in flat), 0)
-            if rows and needs_remat(rows // max(1, self.n_devices)):
+            if rows and needs_remat(rows // max(1, self.n_devices),
+                                    getattr(cfg, 'bf16_acts', False)):
                 cfg.remat = True
                 cfg.remat_auto = True
                 self.model = S.build_model(cfg, self.num_classes,

@@ -45,12 +45,21 @@ def nbr_kernel_volume(nbr):
 
 class SparseConv(nn.Module):
     """Sparse conv driven by a precomputed neighbor map or a key_conv
-    window-plan operand."""
+    window-plan operand.
+
+    act_dtype is the dtype activations LEAVE this module in (f32 default;
+    bf16 under the --bf16_acts policy). The conv itself always accumulates
+    f32 on the MXU; the cast only bounds what downstream ops (and the
+    autodiff residuals XLA stores for their backward) keep in HBM — at
+    bs=8 ScanNet scale the stored-activation footprint is what decides
+    whether the no-remat train step fits a 16 GB chip (config.needs_remat).
+    """
     features: int
     kernel_volume: int          # 27 for 3^3, 8 for 2^3 down, 125 for 5^3 stem
     use_bias: bool = False      # ME convs default to bias=False
     compute_dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    act_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, nbr):
@@ -60,7 +69,7 @@ class SparseConv(nn.Module):
                               use_pallas=self.use_pallas)
         if self.use_bias:
             out = out + self.param('bias', nn.initializers.zeros, (self.features,))
-        return out
+        return out.astype(self.act_dtype)
 
 
 class SparseConvTranspose(nn.Module):
@@ -69,13 +78,15 @@ class SparseConvTranspose(nn.Module):
     features: int
     compute_dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    act_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_coarse, parent, widx, kc=None):
         w = self.param('kernel', kaiming_fan_out, (8, x_coarse.shape[-1], self.features))
         return ops.up_conv(x_coarse, parent, widx, w,
                            compute_dtype=self.compute_dtype,
-                           use_pallas=self.use_pallas, kc=kc)
+                           use_pallas=self.use_pallas,
+                           kc=kc).astype(self.act_dtype)
 
 
 class Linear1x1(nn.Module):
@@ -103,6 +114,10 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.1
     epsilon: float = 1e-5
     axis_name: Optional[str] = None
+    # dtype the normalized output leaves in (--bf16_acts policy); moments,
+    # running stats and the normalize arithmetic itself stay f32 — only the
+    # stored activation narrows
+    act_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, valid, n_valid, train: bool):
@@ -123,7 +138,7 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         inv = jax.lax.rsqrt(var + self.epsilon)
-        return (x - mean) * (inv * scale) + bias
+        return ((x - mean) * (inv * scale) + bias).astype(self.act_dtype)
 
 
 class BasicBlock(nn.Module):
@@ -133,6 +148,7 @@ class BasicBlock(nn.Module):
     axis_name: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    act_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, nbr, valid, n_valid, train: bool, nbr_static=None):
@@ -143,21 +159,24 @@ class BasicBlock(nn.Module):
             nbr = dict(nbr)
             nbr['static'] = nbr_static
         residual = x
+        ad = self.act_dtype
         kv = nbr_kernel_volume(nbr)
         out = SparseConv(self.features, kv,
                          compute_dtype=self.compute_dtype,
-                         use_pallas=self.use_pallas)(x, nbr)
-        out = MaskedBatchNorm(axis_name=self.axis_name)(out, valid, n_valid, train)
+                         use_pallas=self.use_pallas, act_dtype=ad)(x, nbr)
+        out = MaskedBatchNorm(axis_name=self.axis_name,
+                              act_dtype=ad)(out, valid, n_valid, train)
         out = nn.relu(out)
         out = SparseConv(self.features, kv,
                          compute_dtype=self.compute_dtype,
-                         use_pallas=self.use_pallas)(out, nbr)
-        out = MaskedBatchNorm(axis_name=self.axis_name)(out, valid, n_valid, train)
+                         use_pallas=self.use_pallas, act_dtype=ad)(out, nbr)
+        out = MaskedBatchNorm(axis_name=self.axis_name,
+                              act_dtype=ad)(out, valid, n_valid, train)
         if residual.shape[-1] != self.features:
             residual = Linear1x1(self.features, use_bias=False,
                                  compute_dtype=self.compute_dtype,
                                  name='downsample_conv')(residual)
-            residual = MaskedBatchNorm(axis_name=self.axis_name,
+            residual = MaskedBatchNorm(axis_name=self.axis_name, act_dtype=ad,
                                        name='downsample_bn')(
                 residual, valid, n_valid, train)
-        return nn.relu(out + residual)
+        return nn.relu(out + residual.astype(ad))

@@ -40,15 +40,20 @@ class HeadMLP(nn.Module):
     hidden: int = 96
     axis_name: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.bfloat16
+    act_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, valid, n_valid, train: bool):
+        # hidden activations ride act_dtype (the per-vox heads see level-0
+        # row counts); the head OUTPUT stays f32 for the losses
         h = Linear1x1(self.hidden, compute_dtype=self.compute_dtype)(x)
-        h = nn.relu(h)
-        h = MaskedBatchNorm(axis_name=self.axis_name)(h, valid, n_valid, train)
+        h = nn.relu(h.astype(self.act_dtype))
+        h = MaskedBatchNorm(axis_name=self.axis_name,
+                            act_dtype=self.act_dtype)(h, valid, n_valid, train)
         h = Linear1x1(self.hidden, compute_dtype=self.compute_dtype)(h)
-        h = nn.relu(h)
-        h = MaskedBatchNorm(axis_name=self.axis_name)(h, valid, n_valid, train)
+        h = nn.relu(h.astype(self.act_dtype))
+        h = MaskedBatchNorm(axis_name=self.axis_name,
+                            act_dtype=self.act_dtype)(h, valid, n_valid, train)
         return Linear1x1(self.out_dim, compute_dtype=self.compute_dtype)(h)
 
 
@@ -64,6 +69,13 @@ class SelectionNet(nn.Module):
     axis_name: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.bfloat16
     use_pallas: bool = False
+    # activation dtype between ops (--bf16_acts): params, BN stats, losses
+    # and head outputs stay f32; conv/BN/relu/skip activations (and the
+    # autodiff residuals stored for backward) narrow to bf16, roughly
+    # halving the stored-activation footprint — what lets the bs=8
+    # ScanNet-scale train step run WITHOUT block remat on a 16 GB chip
+    # (config.needs_remat's bf16 branch)
+    act_dtype: jnp.dtype = jnp.float32
     # rematerialize BasicBlocks in the backward (jax.checkpoint): trades
     # extra forward FLOPs for not storing the block-internal activations —
     # what lets bs=8 ScanNet-scale training fit one chip's 16 GB HBM
@@ -82,9 +94,10 @@ class SelectionNet(nn.Module):
         cd = self.compute_dtype
         ax = self.axis_name
         up = self.use_pallas
+        ad = self.act_dtype
 
         def bn(name):
-            return MaskedBatchNorm(axis_name=ax, name=name)
+            return MaskedBatchNorm(axis_name=ax, act_dtype=ad, name=name)
 
         def conv_operand(l, kind):
             """nmap array, or the key_conv plan dict when the batch carries
@@ -128,14 +141,14 @@ class SelectionNet(nn.Module):
                                if k != 'static'}
             for i in range(self.layers):
                 x = block_cls(planes, axis_name=ax, compute_dtype=cd,
-                              use_pallas=up,
+                              use_pallas=up, act_dtype=ad,
                               name=f'{stage}_block{i}')(x, nbr_arr, v, n,
                                                         train, nbr_static)
             return x
 
         # ---- stem (stride 1)
         x = SparseConv(INIT_DIM, self.stem_kernel ** 3, compute_dtype=cd,
-                       use_pallas=up,
+                       use_pallas=up, act_dtype=ad,
                        name='stem_conv')(batch['vox_features'],
                                          conv_operand(0, '5'))
         x = bn('stem_bn')(x, batch['valid0'], batch['num0'], train)
@@ -146,7 +159,7 @@ class SelectionNet(nn.Module):
         skips = [stem_out]
         for l in range(1, 8):
             x = SparseConv(x.shape[-1], 8, compute_dtype=cd, use_pallas=up,
-                           name=f'down{l}_conv')(x, conv_operand(l - 1, 'd'))
+                           act_dtype=ad, name=f'down{l}_conv')(x, conv_operand(l - 1, 'd'))
             x = bn(f'down{l}_bn')(x, batch[f'valid{l}'], batch[f'num{l}'], train)
             x = nn.relu(x)
             x = blocks(x, l, ENC_PLANES[l - 1], f'enc{l}')
@@ -169,7 +182,7 @@ class SelectionNet(nn.Module):
                     counts_d=batch[f'kcd_cnt{l}'],
                     scale=1 << l)
             x = SparseConvTranspose(DEC_PLANES[i], compute_dtype=cd,
-                                    use_pallas=up,
+                                    use_pallas=up, act_dtype=ad,
                                     name=f'up{l}_tr')(
                 x, batch.get(f'up_parent{l}'), batch.get(f'up_widx{l}'),
                 kc=kc_up)           # kc batches ship no up_parent (wire win)
@@ -197,10 +210,11 @@ class SelectionNet(nn.Module):
         for head in self.heads:
             if 'per_vox' in head:
                 out = HeadMLP(head_dims[head], axis_name=ax, compute_dtype=cd,
-                              name=head)(x, batch['valid0'], batch['num0'], train)
+                              act_dtype=ad, name=head)(
+                    x, batch['valid0'], batch['num0'], train)
             else:
                 out = HeadMLP(head_dims[head], axis_name=ax, compute_dtype=cd,
-                              name=head)(pooled, pv, pn, train)
+                              act_dtype=ad, name=head)(pooled, pv, pn, train)
             if self.mlp_bounds_relu and head == 'mlp_bounds':
                 out = nn.relu(out)
             outputs[head] = out

@@ -215,13 +215,16 @@ def segment_sum(x, seg_ids, num_segments):
 
 
 def segment_mean(x, seg_ids, num_segments):
-    s = segment_sum(x, seg_ids, num_segments)
+    # f32 accumulation regardless of activation dtype: a segment can sum
+    # thousands of rows, far past bf16's 8-bit mantissa (--bf16_acts)
+    s = segment_sum(x.astype(jnp.float32), seg_ids, num_segments)
     cnt = segment_sum(jnp.ones((x.shape[0], 1), jnp.float32), seg_ids, num_segments)
     return s / jnp.maximum(cnt, 1.0), cnt[:, 0]
 
 
 def segment_max(x, seg_ids, num_segments):
-    s = jax.ops.segment_max(x, seg_ids, num_segments=num_segments + 1)
+    s = jax.ops.segment_max(x.astype(jnp.float32), seg_ids,
+                            num_segments=num_segments + 1)
     s = jnp.where(jnp.isfinite(s), s, 0.0)
     return s[:num_segments]
 

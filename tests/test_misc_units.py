@@ -111,16 +111,21 @@ def test_config_auto_remat_policy():
     small rounding quantum — e.g. configs/scannet.txt)."""
     import os
     from box2mask_tpu.config import needs_remat
-    assert needs_remat(8 * 131072)          # the shipped ScanNet step
+    assert needs_remat(8 * 131072)          # bs=8 at f32 acts needs remat
     assert not needs_remat(4 * 131072)      # bs=4 fits without remat
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # the shipped ScanNet preset now rides --bf16_acts (round 5): halved
+    # stored activations fit bs=8 WITHOUT remat, so auto-remat stays off
     cfg = get_config(['--config', os.path.join(repo, 'configs/scannet.txt'),
                       '--vox_bucket', '131072'])
     assert cfg.batch_size == 8
-    assert cfg.remat and getattr(cfg, 'remat_auto', False)
+    assert cfg.bf16_acts and not cfg.remat
+    # the f32 fallback at the same operating point still auto-remats
+    cfg_f32 = get_config(['--batch_size', '8', '--vox_bucket', '131072'])
+    assert cfg_f32.remat and getattr(cfg_f32, 'remat_auto', False)
     # escape hatch
-    cfg2 = get_config(['--config', os.path.join(repo, 'configs/scannet.txt'),
-                       '--vox_bucket', '131072', '--no_auto_remat'])
+    cfg2 = get_config(['--batch_size', '8', '--vox_bucket', '131072',
+                       '--no_auto_remat'])
     assert not cfg2.remat
     # default bs=4 stays remat-free (fits HBM; inference programs unchanged)
     cfg3 = get_config(['--vox_bucket', '131072'])
