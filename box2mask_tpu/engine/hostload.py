@@ -525,6 +525,19 @@ class BatchUploader:
     def __call__(self, dev):
         if not self.enable:
             return {k: jnp.asarray(v) for k, v in dev.items()}
+        buf, unpack = self.put(dev)
+        return unpack(buf)
+
+    def put(self, dev):
+        """Stage 1 of a SPLIT upload: pack on host + ONE device_put of the
+        packed buffer; returns (device_buf, unpack_fn). Callers that are
+        memory-tight at the step's peak (bs=8 no-remat training,
+        bench.bench_train's middle ladder rung) overlap only THIS ~MB-scale
+        transfer with device compute and dispatch `unpack_fn(device_buf)` —
+        which materializes the full ~35 MB decoded batch — only after the
+        in-flight step completes. __call__ composes put+unpack for everyone
+        else."""
+        assert self.enable
         sig = self._signature(dev)
         entry = self._cache.get(sig)
         if entry is None:
@@ -555,4 +568,4 @@ class BatchUploader:
                         'raw']
                     continue
                 raise
-            return unpack(jax.device_put(buf))
+            return jax.device_put(buf), unpack

@@ -229,7 +229,9 @@ def _kernel(bases_ref, counts_ref, keys_col_ref, w_ref, x_hbm, keys_hbm,
             return jax.lax.fori_loop(1, cnt, chunk_body, acc)
 
         acc = jax.lax.cond(cnt > 0, do_group, lambda a: a, acc)
-    out_ref[:] = acc
+    # accumulation stays f32; the HBM store narrows to the output dtype
+    # (bf16 under --bf16_acts, via the input-dtype rule in key_conv)
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _host_bases(keys_np, out_keys_np, deltas, groups, window, pad,
@@ -311,6 +313,13 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
     G = len(groups)
 
     cin, cout = _round128(cin_raw), _round128(w.shape[2])
+    # output dtype follows the INPUT dtype (a bf16 x is the --bf16_acts
+    # activation policy asking for bf16 out): no extra static arg, jit
+    # specializes on dtype, and the f32 path keeps exact parity with the
+    # oracle. Under bf16 this removes the (n_out, cout) f32 transient —
+    # ~512 MB at bs=8 level 0 — that an external astype would create at the
+    # peak-memory point of the no-remat training step.
+    out_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     xp = jnp.zeros((Bp_in, cin), jnp.bfloat16)
     xp = xp.at[:, :cin_raw].set(x.astype(jnp.bfloat16))
     wp = jnp.zeros((kdim, cin, cout), jnp.bfloat16)
@@ -342,7 +351,7 @@ def key_conv(x, keys_in_b, keys_out_col, bases, counts, w, *,
                           cin=cin, cout=cout, window=window, pad=pad,
                           tiles=tiles, scale=scale, guard=guard, tile=tile),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, cout), out_dtype),
         interpret=interpret,
     )(bases.reshape(-1), counts.reshape(-1), keys_out_col, wp, xp,
       keys_in_b.reshape(1, -1))
@@ -677,8 +686,10 @@ def key_conv_stem_dw(x, g, keys_in_b, bases, counts, *, window=WINDOW_STEM,
     tiles = pad // tile
     cout_raw = g.shape[1]
     cout = _round128(cout_raw)
-    gp = jnp.zeros((B * pad, cout), jnp.float32)
-    gp = gp.at[:, :cout_raw].set(g.astype(jnp.float32))
+    # bf16 pad: _stem_dw_kernel consumes g as bf16 either way; see
+    # key_conv_dw's gp note
+    gp = jnp.zeros((B * pad, cout), jnp.bfloat16)
+    gp = gp.at[:, :cout_raw].set(g.astype(jnp.bfloat16))
 
     grid_spec = _stem_grid_spec(
         B, pad, tile, window, cin_raw, R,
@@ -941,8 +952,11 @@ def key_conv_dw(x, g, keys_in_b, keys_out_col, bases, counts, *,
     cin_p, cout_p = _round128(cin_raw), _round128(cout_raw)
     xp = jnp.zeros((Bp_in, cin_p), jnp.bfloat16)
     xp = xp.at[:, :cin_raw].set(x.astype(jnp.bfloat16))
-    gp = jnp.zeros((n_out, cout_p), jnp.float32)
-    gp = gp.at[:, :cout_raw].set(g.astype(jnp.float32))
+    # pad g in bf16: _dw_kernel consumes it as bf16 either way (values
+    # identical), and the f32 pad was a (n_out, 128) ~512 MB transient on
+    # the bs=8 backward at level 0
+    gp = jnp.zeros((n_out, cout_p), jnp.bfloat16)
+    gp = gp.at[:, :cout_raw].set(g.astype(jnp.bfloat16))
 
     def dw_call(groups_c, deltas_c, offs_c, bases_c, counts_c, kdim_c):
         Gc = len(groups_c)
