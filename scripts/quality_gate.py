@@ -109,6 +109,11 @@ def main(argv=None):
     ap.add_argument('--held_out', action='store_true',
                     help='ALSO run the held-out gate: train on the synthetic '
                          'train split, eval 4 unseen val scenes, loose bar')
+    ap.add_argument('--held_out_only', action='store_true',
+                    help='run ONLY the held-out gate and merge its fields '
+                         'into an existing --out artifact (written by a '
+                         'prior overfit-gate run) — lets the two gates run '
+                         'as separate invocations under a wall-clock budget')
     ap.add_argument('--held_out_epochs', type=int, default=150)
     ap.add_argument('--held_out_scenes', type=int, default=16)
     ap.add_argument('--held_out_threshold', type=float, default=0.3)
@@ -117,11 +122,18 @@ def main(argv=None):
                          'per-round committed artifact QUALITY_r{N}.json')
     a = ap.parse_args(argv)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    map50 = run_gate(a.epochs, a.threshold, dataset_size=a.dataset_size)
-    ok = map50 == map50 and map50 >= a.threshold
-    rec = {'metric': 'synthetic_overfit_map50', 'map50': map50,
-           'threshold': a.threshold, 'pass': bool(ok), 'epochs': a.epochs}
-    if a.held_out:
+    if a.held_out_only:
+        out = (a.out if a.out is None or os.path.isabs(a.out)
+               else os.path.join(repo, a.out))
+        rec = json.load(open(out)) if out and os.path.exists(out) else {
+            'metric': 'synthetic_overfit_map50'}
+        ok = bool(rec.get('pass', True))
+    else:
+        map50 = run_gate(a.epochs, a.threshold, dataset_size=a.dataset_size)
+        ok = map50 == map50 and map50 >= a.threshold
+        rec = {'metric': 'synthetic_overfit_map50', 'map50': map50,
+               'threshold': a.threshold, 'pass': bool(ok), 'epochs': a.epochs}
+    if a.held_out or a.held_out_only:
         ho = run_gate(a.held_out_epochs, a.held_out_threshold,
                       dataset_size=a.held_out_scenes, held_out=True)
         ho_ok = ho == ho and ho >= a.held_out_threshold
